@@ -1,0 +1,81 @@
+"""Centered STFT / inverse STFT in JAX (for the vocoder-bias denoiser).
+
+Matches torch.stft/torch.istft defaults used by the reference denoiser
+(matcha/hifigan/denoiser.py:25-50): center=True with reflect padding,
+periodic Hann window, onesided, no normalization.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tpu.audio.mel import _frame_indices, hann_window_periodic
+
+
+def stft_magnitude_phase(
+    audio: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256, win_length: int = 1024
+):
+    """Centered STFT -> (magnitude, phase), each (..., n_freq, n_frames)."""
+    pad = n_fft // 2
+    pad_widths = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
+    audio = jnp.pad(audio, pad_widths, mode="reflect")
+
+    idx = _frame_indices(audio.shape[-1], n_fft, hop_length)
+    frames = audio[..., idx]
+    window = jnp.asarray(hann_window_periodic(win_length))
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
+    phase = jnp.arctan2(jnp.imag(spec), jnp.real(spec))
+    # (..., n_frames, n_freq) -> (..., n_freq, n_frames)
+    return jnp.swapaxes(mag, -1, -2), jnp.swapaxes(phase, -1, -2)
+
+
+def istft(
+    magnitude: jnp.ndarray,
+    phase: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    length: int = None,
+):
+    """Inverse STFT with window-square overlap-add normalization.
+
+    Args:
+        magnitude/phase: (n_freq, n_frames) or (B, n_freq, n_frames).
+
+    Returns:
+        waveform (..., n_samples) with the center padding removed, matching
+        torch.istft(center=True).
+    """
+    squeeze = magnitude.ndim == 2
+    if squeeze:
+        magnitude, phase = magnitude[None], phase[None]
+
+    spec = magnitude * jnp.exp(1j * phase)
+    spec = jnp.swapaxes(spec, -1, -2)  # (B, n_frames, n_freq)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, n_frames, n_fft)
+
+    window = jnp.asarray(hann_window_periodic(win_length))
+    frames = frames * window
+
+    n_frames = frames.shape[-2]
+    out_len = n_fft + hop_length * (n_frames - 1)
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    flat_idx = idx.reshape(-1)
+
+    def ola(fr):
+        out = jnp.zeros((out_len,), dtype=fr.dtype)
+        return out.at[flat_idx].add(fr.reshape(-1))
+
+    signal = jax.vmap(ola)(frames)
+
+    wsq = jnp.zeros((out_len,), dtype=window.dtype).at[flat_idx].add(
+        jnp.tile(window**2, (n_frames,))
+    )
+    signal = signal / jnp.maximum(wsq, 1e-11)
+
+    pad = n_fft // 2
+    signal = signal[:, pad : out_len - pad]
+    if length is not None:
+        signal = signal[:, :length]
+    return signal[0] if squeeze else signal
