@@ -1,0 +1,459 @@
+"""``matcha-tts`` CLI: text -> wav on TPU.
+
+Mirrors the reference CLI surface (matcha/cli.py:207-270 — same flags,
+model registry, download URLs, defaults, RTF reporting with the same
+formula) on a TPU-native execution model:
+
+* inputs are padded to a small set of static length buckets; each
+  (x-bucket, y-bucket) pair compiles once and is cached;
+* synthesis is two jitted stages (encode -> pick mel bucket -> decode)
+  plus a jitted vocoder, or a single fused text->wav graph when a fixed
+  mel bucket is given (``--fixed-y-bucket``);
+* checkpoints load either from the reference torch formats (converted on
+  the fly, incl. HiFi-GAN weight-norm folding) or native orbax dirs.
+"""
+
+import argparse
+import datetime as dt
+import functools
+import json
+import os
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+from matcha_tpu.text import sequence_to_text, text_to_sequence
+from matcha_tpu.utils.utils import (
+    assert_model_downloaded,
+    get_user_data_dir,
+    intersperse,
+    save_plot,
+    write_wav,
+)
+
+MATCHA_URLS = {
+    "matcha_ljspeech": "https://github.com/shivammehta25/Matcha-TTS-checkpoints/releases/download/v1.0/matcha_ljspeech.ckpt",
+    "matcha_vctk": "https://github.com/shivammehta25/Matcha-TTS-checkpoints/releases/download/v1.0/matcha_vctk.ckpt",
+}
+
+VOCODER_URLS = {
+    "hifigan_T2_v1": "https://github.com/shivammehta25/Matcha-TTS-checkpoints/releases/download/v1.0/generator_v1",
+    "hifigan_univ_v1": "https://github.com/shivammehta25/Matcha-TTS-checkpoints/releases/download/v1.0/g_02500000",
+}
+
+MULTISPEAKER_MODEL = {
+    "matcha_vctk": {"vocoder": "hifigan_univ_v1", "speaking_rate": 0.85, "spk": 0, "spk_range": (0, 107)}
+}
+
+SINGLESPEAKER_MODEL = {"matcha_ljspeech": {"vocoder": "hifigan_T2_v1", "speaking_rate": 0.95, "spk": None}}
+
+X_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+Y_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def pick_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 63) // 64) * 64  # beyond the table: round to 64
+
+
+def process_text(i: int, text: str, cleaner: str = "english_cleaners2"):
+    print(f"[{i}] - Input text: {text}")
+    seq = intersperse(text_to_sequence(text, [cleaner]), 0)
+    x = np.asarray(seq, dtype=np.int32)[None]
+    x_lengths = np.asarray([x.shape[-1]], dtype=np.int32)
+    x_phones = sequence_to_text(list(x[0]))
+    print(f"[{i}] - Phonetised text: {x_phones[1::2]}")
+    return {"x_orig": text, "x": x, "x_lengths": x_lengths, "x_phones": x_phones}
+
+
+class TTSPipeline:
+    """Bucketed, jit-cached synthesis engine (model + vocoder + denoiser)."""
+
+    def __init__(self, model, params, vocoder=None, vocoder_params=None,
+                 denoiser_bias=None, cleaner: str = "english_cleaners2"):
+        import jax
+
+        self.jax = jax
+        self.model = model
+        self.params = params
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.denoiser_bias = denoiser_bias
+        self.cleaner = cleaner
+        self._encode_cache = {}
+        self._decode_cache = {}
+        self._vocode_cache = {}
+        self._fused_cache = {}
+
+    # -- jitted stage builders (cached per bucket shape) -------------------
+    def _encode_fn(self, T_x: int, length_scale: float):
+        key = (T_x, length_scale)
+        if key not in self._encode_cache:
+            from matcha_tpu.models.matcha import MatchaTTS
+
+            self._encode_cache[key] = self.jax.jit(
+                functools.partial(self.model.apply, method=MatchaTTS.encode,
+                                  length_scale=length_scale)
+            )
+        return self._encode_cache[key]
+
+    def _decode_fn(self, T_x: int, T_y: int, n_timesteps: int, temperature: float):
+        key = (T_x, T_y, n_timesteps, temperature)
+        if key not in self._decode_cache:
+            from matcha_tpu.models.matcha import MatchaTTS
+
+            self._decode_cache[key] = self.jax.jit(
+                functools.partial(self.model.apply, method=MatchaTTS.decode,
+                                  n_timesteps=n_timesteps, temperature=temperature,
+                                  y_max_length=T_y)
+            )
+        return self._decode_cache[key]
+
+    def _vocode_fn(self, T_y: int):
+        if T_y not in self._vocode_cache:
+            self._vocode_cache[T_y] = self.jax.jit(self.vocoder.apply)
+        return self._vocode_cache[T_y]
+
+    # ----------------------------------------------------------------------
+    def synthesise_batch(self, x: np.ndarray, x_lengths: np.ndarray, key,
+                         n_timesteps: int = 10, temperature: float = 0.667,
+                         length_scale: float = 1.0, spks=None,
+                         fixed_y_bucket: int = 0):
+        """Returns the reference synthesise dict + 'waveform' (if vocoder)."""
+        import jax.numpy as jnp
+
+        T_x = pick_bucket(x.shape[-1], X_BUCKETS)
+        x_pad = np.zeros((x.shape[0], T_x), dtype=np.int32)
+        x_pad[:, : x.shape[-1]] = x
+        x_pad = jnp.asarray(x_pad)
+        x_lengths = jnp.asarray(x_lengths)
+        spks_j = None if spks is None else jnp.asarray(spks)
+
+        mu_x, w_ceil, y_lengths = self._encode_fn(T_x, length_scale)(
+            self.params, x_pad, x_lengths, spks_j
+        )
+        if fixed_y_bucket:
+            T_y = fixed_y_bucket
+        else:
+            T_y = pick_bucket(int(y_lengths.max()), Y_BUCKETS)  # one tiny host sync
+        out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
+            self.params, mu_x, w_ceil, x_lengths, y_lengths, key, spks=spks_j
+        )
+
+        if self.vocoder is not None:
+            mel_btc = jnp.swapaxes(out["mel"], 1, 2)  # (B, T_y, 80)
+            wav = self._vocode_fn(T_y)(self.vocoder_params, mel_btc)[..., 0]
+            wav = jnp.clip(wav, -1.0, 1.0)
+            if self.denoiser_bias is not None:
+                from matcha_tpu.models.denoiser import denoise
+
+                wav = denoise(wav, self.denoiser_bias, strength=self.denoiser_strength)
+            out["waveform"] = wav
+        return out
+
+    denoiser_strength: float = 0.00025
+
+
+# ---------------------------------------------------------------------------
+# model loading
+# ---------------------------------------------------------------------------
+
+
+def load_matcha(model_name: str, checkpoint_path, device=None):
+    """Load MatchaTTS weights: torch .ckpt (converted) or native orbax dir."""
+    from matcha_tpu.models.matcha import MatchaTTS
+
+    print(f"[!] Loading {model_name}!")
+    checkpoint_path = str(checkpoint_path)
+    if os.path.isdir(checkpoint_path):
+        from matcha_tpu.utils.checkpoints import load_native_checkpoint
+
+        params, hparams, _, _ = load_native_checkpoint(checkpoint_path)
+        kwargs = hparams.get("model_kwargs", {})
+        model = MatchaTTS(**{k: (tuple(v) if isinstance(v, list) else v) for k, v in kwargs.items()})
+    else:
+        from matcha_tpu.utils.checkpoints import load_torch_matcha_checkpoint
+
+        kwargs, params = load_torch_matcha_checkpoint(checkpoint_path)
+        model = MatchaTTS(**kwargs)
+    print(f"[+] {model_name} loaded!")
+    return model, params
+
+
+def load_vocoder(vocoder_name: str, checkpoint_path, device=None):
+    """Load HiFi-GAN (weight norm folded) + precompute the denoiser bias."""
+    import jax.numpy as jnp
+
+    from matcha_tpu.models.denoiser import compute_bias_spec
+    from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
+    from matcha_tpu.utils.checkpoints import load_torch_hifigan_checkpoint
+
+    print(f"[!] Loading {vocoder_name}!")
+    if vocoder_name not in VOCODER_URLS:
+        raise NotImplementedError(
+            f"Vocoder {vocoder_name} not implemented! define a load_<<vocoder_name>> method for it"
+        )
+    vocoder = Generator(HiFiGANConfig())
+    vocoder_params = load_torch_hifigan_checkpoint(str(checkpoint_path))
+    bias = compute_bias_spec(lambda mel: vocoder.apply(vocoder_params, mel), mode="zeros")
+    print(f"[+] {vocoder_name} loaded!")
+    return vocoder, vocoder_params, bias
+
+
+def assert_required_models_available(args):
+    save_dir = get_user_data_dir()
+    if args.checkpoint_path is not None:
+        model_path = args.checkpoint_path
+    else:
+        model_path = save_dir / f"{args.model}.ckpt"
+        assert_model_downloaded(model_path, MATCHA_URLS[args.model])
+    vocoder_path = save_dir / f"{args.vocoder}"
+    assert_model_downloaded(vocoder_path, VOCODER_URLS[args.vocoder])
+    return {"matcha": model_path, "vocoder": vocoder_path}
+
+
+# ---------------------------------------------------------------------------
+# argument validation (reference semantics, cli.py:134-204)
+# ---------------------------------------------------------------------------
+
+
+def validate_args(args):
+    assert args.text or args.file, "Either text or file must be provided Matcha-T(ea)TTS need sometext to whisk the waveforms."
+    assert args.temperature >= 0, "Sampling temperature cannot be negative"
+    assert args.steps > 0, "Number of ODE steps must be greater than 0"
+
+    if args.checkpoint_path is None:
+        if args.model in SINGLESPEAKER_MODEL:
+            args = _validate_single_speaker(args)
+        if args.model in MULTISPEAKER_MODEL:
+            args = _validate_multispeaker(args)
+    else:
+        if args.vocoder != "hifigan_univ_v1":
+            warnings.warn(
+                "[-] Using custom model checkpoint! I would suggest passing --vocoder hifigan_univ_v1, unless the custom model is trained on LJ Speech.",
+                UserWarning,
+            )
+        if args.speaking_rate is None:
+            args.speaking_rate = 1.0
+        if args.vocoder is None:
+            args.vocoder = "hifigan_univ_v1"
+
+    if args.batched:
+        assert args.batch_size > 0, "Batch size must be greater than 0"
+    assert args.speaking_rate > 0, "Speaking rate must be greater than 0"
+    return args
+
+
+def _validate_multispeaker(args):
+    info = MULTISPEAKER_MODEL[args.model]
+    if args.vocoder is not None:
+        if args.vocoder != info["vocoder"]:
+            warnings.warn(f"[-] Using {args.model} model! I would suggest passing --vocoder {info['vocoder']}", UserWarning)
+    else:
+        args.vocoder = info["vocoder"]
+    if args.speaking_rate is None:
+        args.speaking_rate = info["speaking_rate"]
+    spk_range = info["spk_range"]
+    if args.spk is not None:
+        assert spk_range[0] <= args.spk <= spk_range[-1], f"Speaker ID must be between {spk_range} for this model."
+    else:
+        warnings.warn(f"[!] Speaker ID not provided! Using speaker ID {info['spk']}", UserWarning)
+        args.spk = info["spk"]
+    return args
+
+
+def _validate_single_speaker(args):
+    info = SINGLESPEAKER_MODEL[args.model]
+    if args.vocoder is not None:
+        if args.vocoder != info["vocoder"]:
+            warnings.warn(f"[-] Using {args.model} model! I would suggest passing --vocoder {info['vocoder']}", UserWarning)
+    else:
+        args.vocoder = info["vocoder"]
+    if args.speaking_rate is None:
+        args.speaking_rate = info["speaking_rate"]
+    if args.spk != info["spk"]:
+        warnings.warn(f"[-] Ignoring speaker id {args.spk} for {args.model}", UserWarning)
+        args.spk = info["spk"]
+    return args
+
+
+# ---------------------------------------------------------------------------
+# synthesis drivers
+# ---------------------------------------------------------------------------
+
+
+def save_to_folder(filename: str, output: dict, folder: str):
+    folder = Path(folder)
+    folder.mkdir(exist_ok=True, parents=True)
+    mel = np.asarray(output["mel"]).squeeze()
+    save_plot(mel, str(folder / f"{filename}.png"))
+    np.save(folder / f"{filename}", mel)
+    if "waveform" in output:
+        write_wav(folder / f"{filename}.wav", np.asarray(output["waveform"]).squeeze(), 22050)
+    return folder.resolve() / f"{filename}.wav"
+
+
+def get_texts(args):
+    if args.text:
+        return [args.text]
+    with open(args.file, encoding="utf-8") as f:
+        return [line for line in f.readlines() if line.strip()]
+
+
+def _rtf(t_seconds: float, n_samples: int) -> float:
+    return t_seconds * 22050 / max(n_samples, 1)
+
+
+def unbatched_synthesis(args, pipeline: TTSPipeline, texts, spk):
+    import jax
+
+    total_rtf, total_rtf_w = [], []
+    for i, text in enumerate(texts):
+        i = i + 1
+        base_name = f"utterance_{i:03d}_speaker_{args.spk:03d}" if args.spk is not None else f"utterance_{i:03d}"
+        print("".join(["="] * 100))
+        tp = process_text(i, text.strip(), pipeline.cleaner)
+
+        key = jax.random.PRNGKey(args.seed + i)
+        start_t = dt.datetime.now()
+        out = pipeline.synthesise_batch(
+            tp["x"], tp["x_lengths"], key,
+            n_timesteps=args.steps, temperature=args.temperature,
+            length_scale=args.speaking_rate, spks=spk,
+        )
+        ml = int(out["mel_lengths"][0])
+        wav = np.asarray(out["waveform"][0])[: ml * 256]
+        t = (dt.datetime.now() - start_t).total_seconds()
+        rtf = _rtf(t, ml * 256)
+        rtf_w = _rtf(t, wav.shape[-1])
+        print(f"[🍵-{i}] Matcha-TTS RTF: {rtf:.4f}")
+        print(f"[🍵-{i}] Matcha-TTS + VOCODER RTF: {rtf_w:.4f}")
+        total_rtf.append(rtf)
+        total_rtf_w.append(rtf_w)
+        out_single = {"mel": np.asarray(out["mel"][0])[:, :ml], "waveform": wav}
+        location = save_to_folder(base_name, out_single, args.output_folder)
+        print(f"[+] Waveform saved: {location}")
+    _print_rtf_summary(total_rtf, total_rtf_w)
+
+
+def batched_synthesis(args, pipeline: TTSPipeline, texts, spk):
+    import jax
+
+    total_rtf, total_rtf_w = [], []
+    processed = [process_text(i, t.strip(), pipeline.cleaner) for i, t in enumerate(texts)]
+    # Length-bucketed batching: sort by length so bucket padding is tight.
+    order = sorted(range(len(processed)), key=lambda i: processed[i]["x"].shape[-1])
+    for bi, start in enumerate(range(0, len(order), args.batch_size)):
+        chunk = order[start : start + args.batch_size]
+        max_len = max(processed[i]["x"].shape[-1] for i in chunk)
+        B = len(chunk)
+        x = np.zeros((B, max_len), dtype=np.int32)
+        x_lengths = np.zeros((B,), dtype=np.int32)
+        for row, idx in enumerate(chunk):
+            xi = processed[idx]["x"][0]
+            x[row, : xi.shape[-1]] = xi
+            x_lengths[row] = xi.shape[-1]
+        spks = None if spk is None else np.full((B,), spk[0], dtype=np.int32)
+
+        key = jax.random.PRNGKey(args.seed + bi)
+        start_t = dt.datetime.now()
+        out = pipeline.synthesise_batch(
+            x, x_lengths, key, n_timesteps=args.steps,
+            temperature=args.temperature, length_scale=args.speaking_rate, spks=spks,
+        )
+        wavs = np.asarray(out["waveform"])
+        t = (dt.datetime.now() - start_t).total_seconds()
+        n_samples = int(np.sum(np.asarray(out["mel_lengths"]))) * 256
+        rtf_w = _rtf(t, n_samples)
+        print(f"[🍵-Batch: {bi+1}] Matcha-TTS + VOCODER RTF: {rtf_w:.4f}")
+        total_rtf.append(rtf_w)
+        total_rtf_w.append(rtf_w)
+        for row, idx in enumerate(chunk):
+            base_name = (
+                f"utterance_{idx:03d}_speaker_{args.spk:03d}" if args.spk is not None else f"utterance_{idx:03d}"
+            )
+            length = int(out["mel_lengths"][row])
+            new_dict = {"mel": np.asarray(out["mel"][row])[:, :length], "waveform": wavs[row][: length * 256]}
+            location = save_to_folder(base_name, new_dict, args.output_folder)
+            print(f"[🍵-{idx}] Waveform saved: {location}")
+    _print_rtf_summary(total_rtf, total_rtf_w)
+
+
+def _print_rtf_summary(total_rtf, total_rtf_w):
+    print("".join(["="] * 100))
+    print(f"[🍵] Average Matcha-TTS RTF: {np.mean(total_rtf):.4f} ± {np.std(total_rtf)}")
+    print(f"[🍵] Average Matcha-TTS + VOCODER RTF: {np.mean(total_rtf_w):.4f} ± {np.std(total_rtf_w)}")
+    print("[🍵] Enjoy the freshly whisked 🍵 Matcha-TTS!")
+
+
+def print_config(args):
+    print("[!] Configurations: ")
+    print(f"\t- Model: {args.model}")
+    print(f"\t- Vocoder: {args.vocoder}")
+    print(f"\t- Temperature: {args.temperature}")
+    print(f"\t- Speaking rate: {args.speaking_rate}")
+    print(f"\t- Number of ODE steps: {args.steps}")
+    print(f"\t- Speaker: {args.spk}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description=" 🍵 Matcha-TTS (TPU): A fast TTS architecture with conditional flow matching"
+    )
+    parser.add_argument("--model", type=str, default="matcha_ljspeech", choices=list(MATCHA_URLS.keys()), help="Model to use")
+    parser.add_argument("--checkpoint_path", type=str, default=None, help="Path to a custom model checkpoint (torch .ckpt or native dir)")
+    parser.add_argument("--vocoder", type=str, default=None, choices=list(VOCODER_URLS.keys()), help="Vocoder to use")
+    parser.add_argument("--text", type=str, default=None, help="Text to synthesize")
+    parser.add_argument("--file", type=str, default=None, help="Text file to synthesize")
+    parser.add_argument("--spk", type=int, default=None, help="Speaker ID")
+    parser.add_argument("--temperature", type=float, default=0.667, help="Variance of the x0 noise (default: 0.667)")
+    parser.add_argument("--speaking_rate", type=float, default=None, help="change the speaking rate, a higher value means slower speaking rate (default: 1.0)")
+    parser.add_argument("--steps", type=int, default=10, help="Number of ODE steps (default: 10)")
+    parser.add_argument("--cpu", action="store_true", help="Force CPU (default: TPU if available)")
+    parser.add_argument("--denoiser_strength", type=float, default=0.00025, help="Strength of the vocoder bias denoiser (default: 0.00025)")
+    parser.add_argument("--output_folder", type=str, default=os.getcwd(), help="Output folder to save results (default: current dir)")
+    parser.add_argument("--batched", action="store_true", help="Batched inference (default: False)")
+    parser.add_argument("--batch_size", type=int, default=32, help="Batch size only useful when --batched (default: 32)")
+    parser.add_argument("--seed", type=int, default=1234, help="Noise seed (explicit PRNG; default 1234)")
+    parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
+    parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
+    return parser
+
+
+def cli(argv=None):
+    args = build_parser().parse_args(argv)
+    args = validate_args(args)
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    if args.full_precision:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    print(f"[+] Devices: {jax.devices()}")
+    print_config(args)
+    paths = assert_required_models_available(args)
+
+    if args.checkpoint_path is not None:
+        print(f"[🍵] Loading custom model from {args.checkpoint_path}")
+        paths["matcha"] = args.checkpoint_path
+        args.model = "custom_model"
+
+    model, params = load_matcha(args.model, paths["matcha"])
+    vocoder, vocoder_params, bias = load_vocoder(args.vocoder, paths["vocoder"])
+
+    pipeline = TTSPipeline(model, params, vocoder, vocoder_params, bias, cleaner=args.cleaner)
+    pipeline.denoiser_strength = args.denoiser_strength
+
+    texts = get_texts(args)
+    spk = np.asarray([args.spk], dtype=np.int32) if args.spk is not None else None
+    if len(texts) == 1 or not args.batched:
+        unbatched_synthesis(args, pipeline, texts, spk)
+    else:
+        batched_synthesis(args, pipeline, texts, spk)
+
+
+if __name__ == "__main__":
+    cli()

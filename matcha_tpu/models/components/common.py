@@ -1,0 +1,146 @@
+"""Shared neural blocks (flax.linen, channels-last).
+
+All sequence tensors are (B, T, C) — channels on the 128-wide lane
+dimension, the TPU-idiomatic layout (the reference uses torch
+channels-first (B, C, T); see e.g. matcha/models/components/
+text_encoder.py). Convolution wrappers are defined so that torch
+Conv1d/ConvTranspose1d weights convert by a pure transpose, which the
+checkpoint converter relies on.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over (B, T, C), torch-Conv1d-compatible.
+
+    Torch weight (out, in, k) maps to our kernel (k, in, out) by
+    ``w.transpose(2, 1, 0)``.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            kernel_dilation=(self.dilation,),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )
+        return conv(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D convolution matching torch.nn.ConvTranspose1d.
+
+    Implemented as an input-dilated convolution with a flipped kernel:
+    out_len = (T - 1) * stride - 2 * padding + kernel_size.
+    Torch weight (in, out, k) maps to our kernel (k, in, out) by
+    ``w[:, :, ::-1].transpose(2, 0, 1)`` (flip + transpose), which the
+    converter performs.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, in_features, self.features),
+        )
+        pad = self.kernel_size - 1 - self.padding
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis with the reference's eps=1e-4
+    (matcha text encoder convention)."""
+
+    channels: int
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return x * gamma + beta
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Diffusion-style sinusoidal time embedding (scale 1000)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray, scale: float = 1000.0) -> jnp.ndarray:
+        if t.ndim < 1:
+            t = t[None]
+        half_dim = self.dim // 2
+        emb = jnp.log(10000.0) / (half_dim - 1)
+        emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+        emb = scale * t[:, None] * emb[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP over the sinusoidal embedding (silu in between)."""
+
+    time_embed_dim: int
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray) -> jnp.ndarray:
+        sample = nn.Dense(self.time_embed_dim, name="linear_1")(sample)
+        sample = jax.nn.silu(sample)
+        sample = nn.Dense(self.time_embed_dim, name="linear_2")(sample)
+        return sample
+
+
+def sequence_mask_btc(lengths: jnp.ndarray, max_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, T, 1) float mask for channels-last sequence tensors."""
+    m = jnp.arange(max_length)[None, :] < lengths[:, None]
+    return m[..., None].astype(dtype)

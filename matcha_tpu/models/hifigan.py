@@ -1,0 +1,275 @@
+"""HiFi-GAN vocoder (generator + discriminators + GAN losses) in flax.
+
+Rebuild of the reference vocoder (matcha/hifigan/models.py) channels-last:
+Generator = conv_pre(80 -> 512, k7) -> 4x [leaky_relu -> transposed-conv
+upsample x(8,8,2,2)] each followed by a multi-receptive-field fusion
+(mean of 3 ResBlock1 with k in {3,7,11}, dilations (1,3,5)) -> leaky_relu
+-> conv_post -> tanh. Weight norm is folded into plain conv weights at
+checkpoint-conversion time (the reference's remove_weight_norm path,
+models.py:199-206), which is the inference-optimal form for XLA.
+
+Note the reference's final activation before conv_post uses torch's
+default leaky-relu slope 0.01, not 0.1 (models.py:193) — kept.
+"""
+
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from matcha_tpu.models.components.common import Conv1d, ConvTranspose1d, leaky_relu
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass
+class HiFiGANConfig:
+    """v1 hyperparameters (reference matcha/hifigan/config.py:1-28)."""
+
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 22050
+    hop_size: int = 256
+    segment_size: int = 8192
+    n_fft: int = 1024
+    win_size: int = 1024
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    # vocoder-training protocol (reference config.py)
+    batch_size: int = 16
+    learning_rate: float = 0.0004
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    lr_decay: float = 0.999
+    seed: int = 1234
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block: 3x (dilated conv -> plain conv), each pair in a
+    leaky-relu sandwich with a residual."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, self.kernel_size, dilation=d,
+                padding=get_padding(self.kernel_size, d), name=f"convs1_{i}",
+            )(xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, self.kernel_size, dilation=1,
+                padding=get_padding(self.kernel_size, 1), name=f"convs2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, self.kernel_size, dilation=d,
+                padding=get_padding(self.kernel_size, d), name=f"convs_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class Generator(nn.Module):
+    """Mel (B, T, 80) -> waveform (B, T*256, 1), tanh output."""
+
+    config: HiFiGANConfig = field(default_factory=HiFiGANConfig)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = self.config
+        num_kernels = len(h.resblock_kernel_sizes)
+        resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+
+        x = Conv1d(h.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+            x = leaky_relu(x, LRELU_SLOPE)
+            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
+            xs = None
+            for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
+                block = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")
+                xs = block(x) if xs is None else xs + block(x)
+            x = xs / num_kernels
+        x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope here
+        x = Conv1d(1, 7, padding=3, name="conv_post")(x)
+        return jnp.tanh(x)
+
+
+class Conv2dNCHW(nn.Module):
+    """2-D conv over (B, H, W, C) matching torch Conv2d semantics."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            name="conv",
+        )(x)
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator: fold time into (T/p, p) and run 2-D convs."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        # x: (B, T, 1)
+        fmap = []
+        B, T, C = x.shape
+        if T % self.period != 0:
+            n_pad = self.period - (T % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            T = T + n_pad
+        x = x.reshape(B, T // self.period, self.period, C)  # (B, H, W, C)
+
+        channels = (32, 128, 512, 1024)
+        for i, ch in enumerate(channels):
+            x = Conv2dNCHW(
+                ch, (self.kernel_size, 1), (self.stride, 1),
+                (get_padding(5, 1), 0), name=f"convs_{i}",
+            )(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv2dNCHW(1024, (self.kernel_size, 1), (1, 1), (2, 0), name="convs_4")(x)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = Conv2dNCHW(1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(B, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator: grouped 1-D convs on the raw waveform."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        fmap = []
+        specs = [
+            (128, 15, 1, 7, 1),
+            (128, 41, 2, 20, 4),
+            (256, 41, 2, 20, 16),
+            (512, 41, 4, 20, 16),
+            (1024, 41, 4, 20, 16),
+            (1024, 41, 1, 20, 16),
+            (1024, 5, 1, 2, 1),
+        ]
+        for i, (ch, k, s, p, g) in enumerate(specs):
+            x = nn.Conv(
+                ch, (k,), strides=(s,), padding=[(p, p)], feature_group_count=g,
+                name=f"convs_{i}",
+            )(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = nn.Conv(1, (3,), padding=[(1, 1)], name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(x.shape[0], -1), fmap
+
+
+def avg_pool1d(x: jnp.ndarray, window: int = 4, stride: int = 2, padding: int = 2) -> jnp.ndarray:
+    """torch AvgPool1d(count_include_pad=True) on (B, T, C)."""
+    x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    n_out = (x.shape[1] - window) // stride + 1
+    idx = jnp.arange(n_out)[:, None] * stride + jnp.arange(window)[None, :]
+    return x[:, idx, :].mean(axis=2)
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, p in enumerate(self.periods):
+            d = DiscriminatorP(p, name=f"discriminators_{i}")
+            y_d_r, fmap_r = d(y)
+            y_d_g, fmap_g = d(y_hat)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class MultiScaleDiscriminator(nn.Module):
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = avg_pool1d(y)
+                y_hat = avg_pool1d(y_hat)
+            d = DiscriminatorS(name=f"discriminators_{i}")
+            y_d_r, fmap_r = d(y)
+            y_d_g, fmap_g = d(y_hat)
+            y_d_rs.append(y_d_r)
+            fmap_rs.append(fmap_r)
+            y_d_gs.append(y_d_g)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def feature_loss(fmap_r: List, fmap_g: List) -> jnp.ndarray:
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2
+
+
+def discriminator_loss(disc_real_outputs: List, disc_generated_outputs: List):
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        r_loss = jnp.mean((1 - dr) ** 2)
+        g_loss = jnp.mean(dg**2)
+        loss += r_loss + g_loss
+        r_losses.append(r_loss)
+        g_losses.append(g_loss)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs: List):
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1 - dg) ** 2)
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses

@@ -1,0 +1,402 @@
+"""Training harness: optax + mesh-sharded jit train step + orbax ckpts.
+
+The TPU-native replacement for the reference's Lightning stack
+(matcha/train.py + matcha/models/baselightningmodule.py):
+
+* one jitted SPMD ``train_step`` over a (data, model) Mesh — batch sharded
+  on ``data``; gradient all-reduce is inserted by GSPMD (the DDP analog);
+* optax Adam(1e-4) + global-norm clipping 5.0
+  (configs/model/optimizer/adam.yaml, trainer/default.yaml);
+* metric names match the reference's loggers exactly
+  (``loss/train``, ``sub_loss/train_dur_loss``, ..., ``grad_norm/*`` —
+  baselightningmodule.py:78-165,208) so dashboards transfer;
+* orbax checkpoints with save_last / every_n_epochs / top-k semantics
+  (configs/callbacks/model_checkpoint.yaml);
+* rank-zero validation image logging (original / generated_enc /
+  generated_dec / alignment — baselightningmodule.py:167-206);
+* debug presets: fast_dev_run, overfit_batches, limit_*, detect_anomaly
+  (jax_debug_nans), jax.profiler traces (configs/debug/*).
+
+Mixed precision: params/optimizer state are f32; on TPU the matmuls/convs
+run with bf16 inputs through the MXU by XLA's default f32 precision
+policy — the TPU-idiomatic replacement for the reference's fp16-mixed +
+loss scaling (SURVEY.md §2.3).
+"""
+
+import functools
+import os
+import time
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from matcha_tpu.models.matcha import MatchaTTS
+from matcha_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_param_shardings,
+    replicated,
+    shard_batch,
+)
+from matcha_tpu.utils.checkpoints import save_native_checkpoint
+from matcha_tpu.utils.pylogger import get_pylogger
+
+log = get_pylogger(__name__)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0, gradient_clip_val: float = 5.0):
+    """Adam + global-norm clip (reference training protocol)."""
+    chain = []
+    if gradient_clip_val:
+        chain.append(optax.clip_by_global_norm(gradient_clip_val))
+    if weight_decay:
+        chain.append(optax.adamw(lr, weight_decay=weight_decay))
+    else:
+        chain.append(optax.adam(lr))
+    return optax.chain(*chain)
+
+
+def make_train_step(model: MatchaTTS, tx, out_size: Optional[int] = None):
+    """Build the jitted SPMD training step."""
+
+    def loss_fn(params, batch, key, dropout_key):
+        dur, prior, diff, _ = model.apply(
+            params,
+            batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
+            key, batch.get("spks"), out_size,
+            rngs={"dropout": dropout_key},
+            method=MatchaTTS.losses,
+        )
+        total = dur + prior + diff
+        metrics = {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff, "loss": total}
+        return total, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], base_key):
+        key = jax.random.fold_in(base_key, state.step)
+        k_loss, k_drop = jax.random.split(key)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, k_loss, k_drop
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return train_step
+
+
+def make_eval_step(model: MatchaTTS, out_size: Optional[int] = None):
+    @jax.jit
+    def eval_step(params, batch, key):
+        dur, prior, diff, _ = model.apply(
+            params,
+            batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
+            key, batch.get("spks"), out_size,
+            method=MatchaTTS.losses,
+        )
+        return {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff,
+                "loss": dur + prior + diff}
+
+    return eval_step
+
+
+class MetricLogger:
+    """tensorboardX writer with the reference's metric names; silently a
+    no-op when tensorboardX is unavailable."""
+
+    def __init__(self, logdir: Optional[str]):
+        self.writer = None
+        if logdir and jax.process_index() == 0:
+            try:
+                from tensorboardX import SummaryWriter
+
+                os.makedirs(logdir, exist_ok=True)
+                self.writer = SummaryWriter(logdir)
+            except ImportError:  # pragma: no cover
+                log.warning("tensorboardX not available; metrics not persisted")
+
+    def scalars(self, metrics: Dict[str, float], step: int) -> None:
+        if self.writer:
+            for k, v in metrics.items():
+                self.writer.add_scalar(k, float(v), step)
+
+    def image(self, tag: str, img: np.ndarray, step: int) -> None:
+        if self.writer:
+            self.writer.add_image(tag, img, step, dataformats="HWC")
+
+    def hparams(self, hparams: dict) -> None:
+        if self.writer:
+            self.writer.add_text("hparams", "```\n" + "\n".join(f"{k}: {v}" for k, v in hparams.items()) + "\n```", 0)
+
+    def close(self) -> None:
+        if self.writer:
+            self.writer.close()
+
+
+class Trainer:
+    """Epoch-driven training loop (the Lightning Trainer analog)."""
+
+    def __init__(
+        self,
+        model: MatchaTTS,
+        datamodule,
+        out_size: Optional[int] = None,
+        lr: float = 1e-4,
+        weight_decay: float = 0.0,
+        gradient_clip_val: float = 5.0,
+        max_epochs: int = -1,
+        max_steps: int = -1,
+        check_val_every_n_epoch: int = 1,
+        log_every_n_steps: int = 10,
+        output_dir: str = "logs/train/runs/default",
+        seed: int = 1234,
+        n_model_axis: int = 1,
+        fast_dev_run: bool = False,
+        overfit_batches: int = 0,
+        limit_train_batches: Optional[float] = None,
+        limit_val_batches: Optional[float] = None,
+        detect_anomaly: bool = False,
+        profiler: Optional[str] = None,
+        save_every_n_epochs: int = 100,
+        save_top_k: int = 10,
+        log_validation_images: bool = True,
+        hparams: Optional[dict] = None,
+    ):
+        self.model = model
+        self.dm = datamodule
+        self.out_size = out_size
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.log_every_n_steps = log_every_n_steps
+        self.output_dir = output_dir
+        self.seed = seed
+        self.fast_dev_run = fast_dev_run
+        self.overfit_batches = overfit_batches
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.profiler = profiler
+        self.save_every_n_epochs = save_every_n_epochs
+        self.save_top_k = save_top_k
+        self.log_validation_images = log_validation_images
+        self.hparams = hparams or {}
+
+        if detect_anomaly:
+            jax.config.update("jax_debug_nans", True)
+
+        # Data axis must divide the global batch; idle the extra devices
+        # for tiny debug batches rather than failing.
+        import math as _math
+
+        n_dev = len(jax.devices())
+        n_data = max(1, _math.gcd(n_dev // n_model_axis, int(getattr(datamodule, "batch_size", n_dev))))
+        self.mesh = make_mesh(n_data=n_data, n_model=n_model_axis,
+                              devices=jax.devices()[: n_data * n_model_axis])
+        self.tx = make_optimizer(lr, weight_decay, gradient_clip_val)
+        self.train_step = make_train_step(model, self.tx, out_size)
+        self.eval_step = make_eval_step(model, out_size)
+        self.logger = MetricLogger(os.path.join(output_dir, "tensorboard"))
+        self._ckpt_epochs: list = []
+
+    # ------------------------------------------------------------------
+    def init_state(self, sample_batch: dict, restore_from: Optional[str] = None) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        if restore_from:
+            from matcha_tpu.utils.checkpoints import load_native_checkpoint
+
+            params, _, step, extra = load_native_checkpoint(restore_from)
+            opt_state = self.tx.init(params)
+            state = TrainState(step=jnp.asarray(step, jnp.int32), params=params, opt_state=opt_state)
+            log.info(f"Restored checkpoint at step {step} from {restore_from}")
+        else:
+            params = self.model.init(
+                {"params": key},
+                jnp.asarray(sample_batch["x"]), jnp.asarray(sample_batch["x_lengths"]),
+                jnp.asarray(sample_batch["y"]), jnp.asarray(sample_batch["y_lengths"]),
+                jax.random.PRNGKey(0),
+                jnp.asarray(sample_batch["spks"]) if sample_batch.get("spks") is not None else None,
+            )
+            opt_state = self.tx.init(params)
+            state = TrainState(step=jnp.asarray(0, jnp.int32), params=params, opt_state=opt_state)
+
+        shardings = make_param_shardings(state.params, self.mesh)
+        params = jax.device_put(state.params, shardings)
+        opt_state = jax.device_put(state.opt_state, replicated(self.mesh))
+        return TrainState(step=jax.device_put(state.step, replicated(self.mesh)),
+                          params=params, opt_state=opt_state)
+
+    # ------------------------------------------------------------------
+    def fit(self, restore_from: Optional[str] = None) -> Dict[str, float]:
+        self.dm.setup()
+        first = next(iter(self.dm.train_batches(0, limit=self.limit_train_batches)))
+        state = self.init_state(first, restore_from)
+        n_params = sum(p.size for p in jax.tree.leaves(state.params))
+        log.info(f"Model parameters: {n_params/1e6:.2f}M | mesh: {dict(self.mesh.shape)}")
+        self.logger.hparams({**self.hparams, "n_params": n_params})
+
+        base_key = jax.random.PRNGKey(self.seed + 17)
+        last_metrics: Dict[str, float] = {}
+        epoch = int(state.step) and 0  # epochs restart on resume; step persists
+        max_epochs = 1 if self.fast_dev_run else (self.max_epochs if self.max_epochs > 0 else 10**9)
+
+        stop = False
+        while epoch < max_epochs and not stop:
+            t_epoch = time.time()
+            if self.overfit_batches:
+                batches = []
+                for i, b in enumerate(self.dm.train_batches(0)):
+                    if i >= self.overfit_batches:
+                        break
+                    batches.append(b)
+                train_iter = iter(batches)
+            else:
+                train_iter = self.dm.train_batches(epoch, limit=self.limit_train_batches)
+
+            for i, batch in enumerate(train_iter):
+                if self.profiler == "jax" and i == 1 and epoch == 0:
+                    jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
+                dev_batch = shard_batch(batch, self.mesh)
+                state, metrics = self.train_step(state, dev_batch, base_key)
+                step = int(state.step)
+                if self.profiler == "jax" and i == 3 and epoch == 0:
+                    jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                if step % self.log_every_n_steps == 0 or self.fast_dev_run:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    last_metrics = host
+                    self.logger.scalars(
+                        {
+                            "step": step,
+                            "loss/train": host["loss"],
+                            "sub_loss/train_dur_loss": host["dur_loss"],
+                            "sub_loss/train_prior_loss": host["prior_loss"],
+                            "sub_loss/train_diff_loss": host["diff_loss"],
+                            "grad_norm/total": host["grad_norm"],
+                        },
+                        step,
+                    )
+                    log.info(
+                        f"epoch {epoch} step {step}: loss={host['loss']:.4f} "
+                        f"(dur {host['dur_loss']:.4f} prior {host['prior_loss']:.4f} "
+                        f"diff {host['diff_loss']:.4f}) grad_norm={host['grad_norm']:.3f}"
+                    )
+                if self.fast_dev_run or (self.max_steps > 0 and step >= self.max_steps):
+                    stop = True
+                    break
+
+            if (epoch + 1) % self.check_val_every_n_epoch == 0 or self.fast_dev_run:
+                val = self.validate(state, epoch)
+                last_metrics.update({f"val_{k}": v for k, v in val.items()})
+
+            self._maybe_checkpoint(state, epoch)
+            log.info(f"epoch {epoch} done in {time.time()-t_epoch:.1f}s")
+            epoch += 1
+
+        self._save(state, epoch, tag="last")
+        self.logger.close()
+        return {"loss/train": last_metrics.get("loss", float("nan")),
+                "loss/val": last_metrics.get("val_loss", float("nan"))}
+
+    # ------------------------------------------------------------------
+    def validate(self, state: TrainState, epoch: int) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        key = jax.random.PRNGKey(0)
+        first_batch = None
+        for batch in self.dm.val_batches(limit=self.limit_val_batches):
+            if first_batch is None:
+                first_batch = batch
+            dev_batch = shard_batch(batch, self.mesh)
+            m = self.eval_step(state.params, dev_batch, key)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            if self.fast_dev_run:
+                break
+        if count == 0:
+            return {}
+        means = {k: v / count for k, v in sums.items()}
+        self.logger.scalars(
+            {
+                "loss/val": means["loss"],
+                "sub_loss/val_dur_loss": means["dur_loss"],
+                "sub_loss/val_prior_loss": means["prior_loss"],
+                "sub_loss/val_diff_loss": means["diff_loss"],
+            },
+            int(state.step),
+        )
+        log.info(f"epoch {epoch} validation: loss={means['loss']:.4f}")
+        if self.log_validation_images and first_batch is not None and not self.fast_dev_run:
+            self._log_images(state, first_batch, epoch)
+        return means
+
+    def _log_images(self, state: TrainState, batch: dict, epoch: int) -> None:
+        """Rank-zero synthesis of 2 samples -> tensorboard images
+        (reference on_validation_end, baselightningmodule.py:167-206)."""
+        if jax.process_index() != 0 or self.logger.writer is None:
+            return
+        from matcha_tpu.utils.utils import plot_tensor
+
+        n = min(2, batch["x"].shape[0])
+        if epoch == 0:
+            for i in range(n):
+                self.logger.image(f"original/{i}", plot_tensor(batch["y"][i].T), epoch)
+        y_max_length = batch["y"].shape[1]
+        out = self.model.apply(
+            state.params,
+            jnp.asarray(batch["x"][:n]), jnp.asarray(batch["x_lengths"][:n]),
+            jax.random.PRNGKey(42),
+            n_timesteps=10,
+            spks=jnp.asarray(batch["spks"][:n]) if batch.get("spks") is not None else None,
+            y_max_length=y_max_length,
+            method=MatchaTTS.synthesise,
+        )
+        for i in range(n):
+            self.logger.image(f"generated_enc/{i}", plot_tensor(np.asarray(out["encoder_outputs"][i])), epoch)
+            self.logger.image(f"generated_dec/{i}", plot_tensor(np.asarray(out["decoder_outputs"][i])), epoch)
+            self.logger.image(f"alignment/{i}", plot_tensor(np.asarray(out["attn"][i])), epoch)
+
+    # ------------------------------------------------------------------
+    def _maybe_checkpoint(self, state: TrainState, epoch: int) -> None:
+        self._save(state, epoch, tag="last")
+        if self.save_every_n_epochs and (epoch + 1) % self.save_every_n_epochs == 0:
+            path = self._save(state, epoch)
+            self._ckpt_epochs.append((epoch, path))
+            while len(self._ckpt_epochs) > self.save_top_k:
+                _, old = self._ckpt_epochs.pop(0)
+                import shutil
+
+                shutil.rmtree(old, ignore_errors=True)
+
+    def _save(self, state: TrainState, epoch: int, tag: Optional[str] = None) -> str:
+        if jax.process_index() != 0:
+            return ""
+        ckpt_dir = os.path.join(self.output_dir, "checkpoints")
+        params = jax.device_get(state.params)
+        step = int(state.step)
+        if tag == "last":
+            import orbax.checkpoint as ocp
+
+            os.makedirs(ckpt_dir, exist_ok=True)
+            path = os.path.join(ckpt_dir, "last")
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, {"params": params}, force=True)
+            ckptr.wait_until_finished()
+            import json
+
+            with open(path + ".hparams.json", "w", encoding="utf-8") as f:
+                json.dump({"hparams": self.hparams, "step": step, "epoch": epoch}, f, default=str)
+            return path
+        return save_native_checkpoint(ckpt_dir, params, {**self.hparams, "epoch": epoch}, step=step)

@@ -7,14 +7,25 @@ paths are exercised without TPU hardware.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Env-var route (JAX_PLATFORMS/XLA_FLAGS) for the case jax is not yet
+# imported. In this sandbox a sitecustomize pre-imports jax and presets
+# JAX_PLATFORMS=axon (the TPU tunnel), so we ALSO override via jax.config
+# below — backends initialize lazily, so this still wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Parity tests compare against torch f32; JAX's default matmul/conv
+# precision is bf16-grade (even on CPU), so pin full f32 for tests.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture()

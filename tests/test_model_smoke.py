@@ -1,0 +1,96 @@
+"""Model-level smoke tests on a tiny config (shape + finiteness).
+
+The reference ships no tests; this follows SURVEY.md §4's designed
+pyramid level (c): model-shape and loss-finiteness checks with a toy
+config, jitted so they exercise the real compiled path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matcha_tpu.models import MatchaTTS
+
+TINY = dict(
+    n_vocab=178, n_feats=16, enc_n_channels=32, enc_filter_channels=64,
+    enc_filter_channels_dp=32, enc_n_heads=2, enc_n_layers=2,
+    dec_channels=(32, 32), dec_num_mid_blocks=1, dec_num_heads=1,
+    dec_attention_head_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_params():
+    model = MatchaTTS(**TINY)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, 178, size=(2, 16)))
+    xl = jnp.array([16, 11])
+    y = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
+    yl = jnp.array([64, 40])
+    params = model.init({"params": jax.random.PRNGKey(1)}, x, xl, y, yl, jax.random.PRNGKey(0))
+    return model, params, (x, xl, y, yl)
+
+
+def test_param_structure(tiny_model_and_params):
+    model, params, _ = tiny_model_and_params
+    n = sum(p.size for p in jax.tree.leaves(params))
+    assert n > 1e4
+    assert "encoder" in params["params"] and "decoder" in params["params"]
+
+
+def test_losses_finite_and_jittable(tiny_model_and_params):
+    model, params, (x, xl, y, yl) = tiny_model_and_params
+    loss_fn = jax.jit(lambda p, k: model.apply(p, x, xl, y, yl, k))
+    dur, prior, diff, attn = loss_fn(params, jax.random.PRNGKey(2))
+    for v in (dur, prior, diff):
+        assert np.isfinite(float(v)), (dur, prior, diff)
+    # MAS alignment: every valid frame assigned exactly one token
+    a = np.asarray(attn)
+    np.testing.assert_array_equal(a[0].sum(0), np.ones(64))
+    assert a[1, :, 40:].sum() == 0
+
+
+def test_losses_with_segment_cut(tiny_model_and_params):
+    model, params, (x, xl, y, yl) = tiny_model_and_params
+    loss_fn = jax.jit(
+        lambda p, k: model.apply(p, x, xl, y, yl, k, out_size=32, method=MatchaTTS.losses)
+    )
+    dur, prior, diff, _ = loss_fn(params, jax.random.PRNGKey(3))
+    for v in (dur, prior, diff):
+        assert np.isfinite(float(v))
+
+
+def test_synthesise_shapes(tiny_model_and_params):
+    model, params, (x, xl, _, _) = tiny_model_and_params
+    synth = jax.jit(
+        functools.partial(
+            model.apply, method=MatchaTTS.synthesise,
+            n_timesteps=2, temperature=0.667, y_max_length=64,
+        )
+    )
+    out = synth(params, x, xl, jax.random.PRNGKey(4))
+    assert out["mel"].shape == (2, TINY["n_feats"], 64)
+    assert out["decoder_outputs"].shape == (2, TINY["n_feats"], 64)
+    assert out["attn"].shape == (2, 16, 64)
+    ml = np.asarray(out["mel_lengths"])
+    assert (ml >= 1).all() and (ml <= 64).all()
+    assert np.isfinite(np.asarray(out["mel"])).all()
+    # Encoder outputs are masked beyond mel_lengths (decoder outputs keep
+    # the unintegrated terminal noise there, like the reference).
+    m = np.asarray(out["encoder_outputs"])
+    assert np.abs(m[1, :, ml[1]:]).max() == 0.0
+
+
+def test_dropout_rng_changes_training_loss(tiny_model_and_params):
+    model, params, (x, xl, y, yl) = tiny_model_and_params
+    loss_fn = jax.jit(
+        lambda p, k, dk: model.apply(p, x, xl, y, yl, k, rngs={"dropout": dk})
+    )
+    k = jax.random.PRNGKey(5)
+    d1 = loss_fn(params, k, jax.random.PRNGKey(6))
+    d2 = loss_fn(params, k, jax.random.PRNGKey(7))
+    # same data/noise keys, different dropout masks -> different diff loss
+    assert float(d1[2]) != float(d2[2])

@@ -1,0 +1,153 @@
+"""Training-harness smoke tests on synthetic data.
+
+The fast_dev_run analog of the reference's debug presets (SURVEY.md §4):
+a tiny model + synthetic sine-tone corpus, one real optimization step
+through the full sharded train_step, checkpoint save/restore.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from matcha_tpu.utils.utils import write_wav
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic mini-corpus: 4 tone wavs + filelists."""
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(4):
+        dur = 0.35 + 0.1 * i
+        t = np.arange(int(SR * dur)) / SR
+        freq = 200 + 50 * i
+        audio = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        audio += rng.normal(0, 0.01, audio.shape).astype(np.float32)
+        p = root / f"utt{i}.wav"
+        write_wav(p, audio, SR)
+        entries.append(f"{p}|hello world number {i}")
+    train_fl = root / "train.txt"
+    train_fl.write_text("\n".join(entries), encoding="utf-8")
+    val_fl = root / "val.txt"
+    val_fl.write_text("\n".join(entries[:2]), encoding="utf-8")
+    return {"train": str(train_fl), "val": str(val_fl), "root": str(root)}
+
+
+@pytest.fixture(scope="module")
+def datamodule(corpus):
+    from matcha_tpu.training.data import TextMelDataModule
+
+    return TextMelDataModule(
+        name="test",
+        train_filelist_path=corpus["train"],
+        valid_filelist_path=corpus["val"],
+        batch_size=2,
+        cleaners=["english_cleaners_no_espeak"],
+        n_spks=1,
+        n_feats=16,
+        f_max=4000,
+        data_statistics={"mel_mean": -5.5, "mel_std": 2.1},
+        seed=1,
+    )
+
+
+def test_datamodule_batches(datamodule):
+    batches = list(datamodule.train_batches(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["x"].dtype == np.int32
+    assert b["y"].shape[0] == 2 and b["y"].shape[2] == 16
+    assert b["y"].shape[1] % 64 == 0  # bucketed
+    assert (b["x_lengths"] > 0).all() and (b["y_lengths"] > 0).all()
+    assert b["spks"] is None
+    # Bucketing: both batches share one shape -> one XLA compilation
+    assert batches[0]["y"].shape == batches[1]["y"].shape
+
+
+def test_data_statistics_tool(datamodule):
+    from matcha_tpu.training.generate_data_statistics import compute_data_statistics
+
+    stats = compute_data_statistics(datamodule)
+    assert np.isfinite(stats["mel_mean"]) and stats["mel_std"] > 0
+
+
+@pytest.mark.slow
+def test_trainer_one_step_and_restore(tmp_path, datamodule):
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.trainer import Trainer
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=32, enc_filter_channels=64,
+        enc_filter_channels_dp=32, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(32, 32), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16,
+    )
+    model = MatchaTTS(**tiny)
+    out_dir = str(tmp_path / "run")
+    trainer = Trainer(
+        model=model, datamodule=datamodule, lr=1e-4,
+        max_epochs=1, max_steps=1, output_dir=out_dir, seed=0,
+        fast_dev_run=True, log_validation_images=False,
+    )
+    metrics = trainer.fit()
+    assert np.isfinite(metrics["loss/train"])
+    assert np.isfinite(metrics["loss/val"])
+
+    # last-checkpoint written and restorable
+    last = os.path.join(out_dir, "checkpoints", "last")
+    assert os.path.isdir(last)
+    meta = json.loads(open(last + ".hparams.json").read())
+    assert meta["step"] >= 1
+
+    trainer2 = Trainer(
+        model=model, datamodule=datamodule, lr=1e-4,
+        max_epochs=1, max_steps=2, output_dir=out_dir, seed=0,
+        fast_dev_run=True, log_validation_images=False,
+    )
+    metrics2 = trainer2.fit(restore_from=last)
+    assert np.isfinite(metrics2["loss/train"])
+
+
+@pytest.mark.slow
+def test_train_step_multidevice(datamodule):
+    """DP over the 8 virtual CPU devices (ddp_sim analog)."""
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.parallel.mesh import make_mesh, make_param_shardings, replicated, shard_batch
+    from matcha_tpu.training.trainer import TrainState, make_optimizer, make_train_step
+
+    assert jax.device_count() == 8
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=16, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(16, 16), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16, enc_prenet=False,
+    )
+    model = MatchaTTS(**tiny)
+    b = next(iter(datamodule.train_batches(0)))
+    # pad batch to 8 samples for the 8-way data axis
+    reps = 8 // b["x"].shape[0]
+    batch = {k: (np.concatenate([v] * reps) if v is not None else None) for k, v in b.items()}
+
+    mesh = make_mesh(n_model=1)
+    import jax.numpy as jnp
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(batch["x"]), jnp.asarray(batch["x_lengths"]),
+        jnp.asarray(batch["y"]), jnp.asarray(batch["y_lengths"]),
+        jax.random.PRNGKey(1),
+    )
+    tx = make_optimizer(1e-4)
+    params = jax.device_put(params, replicated(mesh))
+    state = TrainState(step=jnp.asarray(0), params=params, opt_state=tx.init(params))
+    step_fn = make_train_step(model, tx)
+    dev_batch = shard_batch(batch, mesh)
+    state, metrics = step_fn(state, dev_batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
