@@ -125,9 +125,11 @@ class MatchaTTS(nn.Module):
         spk_emb = self._speaker(spks)
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)[..., None]
         mu_x, logw = self.encoder(x, x_mask, spk_emb, deterministic=True)
-        w = jnp.exp(logw) * x_mask
+        # Clamp durations so untrained/garbage weights can't overflow the
+        # int32 length math (exp of a large logit -> inf).
+        w = jnp.exp(jnp.minimum(logw, 11.0)) * x_mask
         w_ceil = jnp.ceil(w) * length_scale
-        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), min=1.0).astype(jnp.int32)
+        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), min=1.0, max=2.0**30).astype(jnp.int32)
         return mu_x, w_ceil, y_lengths
 
     def decode(

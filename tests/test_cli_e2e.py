@@ -1,0 +1,147 @@
+"""End-to-end CLI test with fabricated reference-format checkpoints.
+
+Builds a Lightning-style MatchaTTS ``.ckpt`` (tiny config embedded in
+``hyper_parameters``) and a full-size weight-normed HiFi-GAN v1 generator
+dict, drops them in MATCHA_HOME (so no download is attempted), and drives
+``matcha-tts --text ...`` through synthesis to wav/png/npy outputs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.test_convert import TINY as _TINY  # noqa: E402
+from tests.test_convert import synthetic_matcha_state_dict  # noqa: E402
+
+# CLI tests pair the tiny acoustic model with the full 80-mel HiFi-GAN v1
+# and the real 178-symbol vocabulary.
+TINY = dict(_TINY, n_feats=80, n_vocab=178)
+
+
+def _full_hifigan_state_dict(rng):
+    """Weight-normed HiFi-GAN v1 generator state dict (random weights)."""
+    sd = {}
+
+    def wn(prefix, out, inp, k):
+        v = rng.normal(size=(out, inp, k)).astype(np.float32) * 0.05
+        g = np.abs(rng.normal(size=(out, 1, 1)).astype(np.float32)) + 0.5
+        sd[f"{prefix}.weight_g"] = torch.from_numpy(g)
+        sd[f"{prefix}.weight_v"] = torch.from_numpy(v)
+        sd[f"{prefix}.bias"] = torch.from_numpy(rng.normal(size=(out,)).astype(np.float32) * 0.01)
+
+    def wn_t(prefix, inp, out, k):
+        v = rng.normal(size=(inp, out, k)).astype(np.float32) * 0.05
+        g = np.abs(rng.normal(size=(inp, 1, 1)).astype(np.float32)) + 0.5
+        sd[f"{prefix}.weight_g"] = torch.from_numpy(g)
+        sd[f"{prefix}.weight_v"] = torch.from_numpy(v)
+        sd[f"{prefix}.bias"] = torch.from_numpy(rng.normal(size=(out,)).astype(np.float32) * 0.01)
+
+    wn("conv_pre", 512, 80, 7)
+    rates_kernels = [(8, 16), (8, 16), (2, 4), (2, 4)]
+    ch = 512
+    rks = (3, 7, 11)
+    for i, (u, k) in enumerate(rates_kernels):
+        wn_t(f"ups.{i}", ch, ch // 2, k)
+        ch //= 2
+        for j, rk in enumerate(rks):
+            n = i * 3 + j
+            for jj in range(3):
+                wn(f"resblocks.{n}.convs1.{jj}", ch, ch, rk)
+                wn(f"resblocks.{n}.convs2.{jj}", ch, ch, rk)
+    wn("conv_post", 1, ch, 7)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def fabricated_ckpts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("matcha_home")
+    # get_user_data_dir(MATCHA_HOME) joins the app name, like the reference
+    home = root / "matcha_tpu"
+    home.mkdir()
+    rng = np.random.default_rng(7)
+
+    # MatchaTTS lightning-style ckpt with tiny hyper_parameters
+    sd = synthetic_matcha_state_dict(rng, TINY)
+    hp = {
+        "n_vocab": TINY["n_vocab"], "n_spks": 1, "spk_emb_dim": 64,
+        "n_feats": TINY["n_feats"], "prior_loss": True, "out_size": None,
+        "encoder": {
+            "encoder_type": "RoPE Encoder",
+            "encoder_params": {
+                "n_feats": TINY["n_feats"], "n_channels": TINY["enc_n_channels"],
+                "filter_channels": TINY["enc_filter_channels"],
+                "filter_channels_dp": TINY["enc_filter_channels_dp"],
+                "n_heads": TINY["enc_n_heads"], "n_layers": TINY["enc_n_layers"],
+                "kernel_size": 3, "p_dropout": 0.1, "prenet": True,
+            },
+            "duration_predictor_params": {
+                "filter_channels_dp": TINY["enc_filter_channels_dp"],
+                "kernel_size": 3, "p_dropout": 0.1,
+            },
+        },
+        "decoder": {
+            "channels": list(TINY["dec_channels"]), "dropout": 0.05,
+            "attention_head_dim": TINY["dec_attention_head_dim"], "n_blocks": 1,
+            "num_mid_blocks": TINY["dec_num_mid_blocks"],
+            "num_heads": TINY["dec_num_heads"], "act_fn": "snakebeta",
+        },
+        "cfm": {"name": "CFM", "solver": "euler", "sigma_min": 1e-4},
+        "data_statistics": {"mel_mean": -5.5, "mel_std": 2.1},
+    }
+    torch.save({"state_dict": sd, "hyper_parameters": hp, "epoch": 3},
+               home / "matcha_ljspeech.ckpt")
+
+    torch.save({"generator": _full_hifigan_state_dict(rng)}, home / "hifigan_T2_v1")
+    return str(root)
+
+
+@pytest.mark.slow
+def test_cli_text_to_wav(fabricated_ckpts, tmp_path, monkeypatch):
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    out_dir = tmp_path / "out"
+
+    from matcha_tpu.cli import cli
+
+    cli([
+        "--text", "hello world",
+        "--cleaner", "english_cleaners_no_espeak",
+        "--steps", "2",
+        "--output_folder", str(out_dir),
+        "--seed", "3",
+    ])
+
+    wav = out_dir / "utterance_001.wav"
+    png = out_dir / "utterance_001.png"
+    npy = out_dir / "utterance_001.npy"
+    assert wav.exists() and png.exists() and npy.exists()
+
+    from matcha_tpu.utils.utils import read_wav
+
+    audio, sr = read_wav(str(wav))
+    assert sr == 22050
+    assert audio.size > 1000
+    assert np.isfinite(audio).all()
+    mel = np.load(npy)
+    assert mel.shape[0] == TINY["n_feats"]
+
+
+@pytest.mark.slow
+def test_cli_mel_lengths_respect_speaking_rate(fabricated_ckpts, monkeypatch, tmp_path):
+    """length_scale scales durations: slower rate => more frames."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder, process_text
+
+    model, params = load_matcha(
+        "matcha_ljspeech", os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    )
+    pipeline = TTSPipeline(model, params, cleaner="english_cleaners_no_espeak")
+    tp = process_text(0, "testing speaking rate", "english_cleaners_no_espeak")
+    key = jax.random.PRNGKey(0)
+    out_fast = pipeline.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1, length_scale=0.7)
+    out_slow = pipeline.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1, length_scale=1.4)
+    assert int(out_slow["mel_lengths"][0]) > int(out_fast["mel_lengths"][0])
