@@ -78,6 +78,7 @@ class Decoder(nn.Module):
     num_mid_blocks: int = 2
     num_heads: int = 4
     act_fn: str = "snakebeta"
+    mask_mode: str = "additive_reference"
 
     @nn.compact
     def __call__(
@@ -114,7 +115,8 @@ class Decoder(nn.Module):
             for j in range(self.n_blocks):
                 h = BasicTransformerBlock(
                     h.shape[-1], self.num_heads, self.attention_head_dim,
-                    self.dropout, self.act_fn, name=f"{prefix}_transformer_{j}",
+                    self.dropout, self.act_fn, mask_mode=self.mask_mode,
+                    name=f"{prefix}_transformer_{j}",
                 )(h, mask2d, deterministic=deterministic)
             return h
 

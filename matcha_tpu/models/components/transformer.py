@@ -81,12 +81,21 @@ class FeedForward(nn.Module):
 
 class Attention(nn.Module):
     """diffusers-compatible attention: q/k/v without bias, output proj with
-    bias; scale 1/sqrt(head_dim); additive float mask (see module doc)."""
+    bias; scale 1/sqrt(head_dim); additive float mask (see module doc).
+
+    ``mask_mode``:
+      * "additive_reference" (default): the 0/1 mask is ADDED to the
+        scores — bit-faithful to the reference/diffusers behaviour that
+        converted checkpoints were trained under;
+      * "proper": padded keys get -1e9 (recommended for models trained
+        from scratch with this framework).
+    """
 
     query_dim: int
     heads: int
     dim_head: int
     dropout: float = 0.0
+    mask_mode: str = "additive_reference"
 
     @nn.compact
     def __call__(
@@ -108,8 +117,10 @@ class Attention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(self.dim_head)
         if attention_mask is not None:
-            # Reference behaviour: the 0/1 mask is ADDED to the scores.
-            scores = scores + attention_mask[:, None, None, :]
+            if self.mask_mode == "proper":
+                scores = jnp.where(attention_mask[:, None, None, :] == 0, -1e9, scores)
+            else:
+                scores = scores + attention_mask[:, None, None, :]
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, inner)
@@ -123,6 +134,7 @@ class BasicTransformerBlock(nn.Module):
     attention_head_dim: int
     dropout: float = 0.0
     activation_fn: str = "snakebeta"
+    mask_mode: str = "additive_reference"
 
     @nn.compact
     def __call__(
@@ -136,7 +148,7 @@ class BasicTransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(hidden_states)
         attn_out = Attention(
             self.dim, self.num_attention_heads, self.attention_head_dim, self.dropout,
-            name="attn1",
+            mask_mode=self.mask_mode, name="attn1",
         )(h, attention_mask, deterministic)
         hidden_states = attn_out + hidden_states
 

@@ -52,6 +52,9 @@ class MatchaTTS(nn.Module):
     dec_num_mid_blocks: int = 2
     dec_num_heads: int = 2
     dec_act_fn: str = "snakebeta"
+    # "additive_reference" keeps the reference/diffusers 0/1-additive mask
+    # quirk (needed for converted checkpoints); "proper" masks padded keys.
+    dec_mask_mode: str = "additive_reference"
     # cfm
     sigma_min: float = 1e-4
     # losses
@@ -89,6 +92,7 @@ class MatchaTTS(nn.Module):
             num_mid_blocks=self.dec_num_mid_blocks,
             num_heads=self.dec_num_heads,
             act_fn=self.dec_act_fn,
+            mask_mode=self.dec_mask_mode,
         )
         if self.n_spks > 1:
             self.spk_emb = nn.Embed(self.n_spks, self.spk_emb_dim)

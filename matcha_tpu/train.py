@@ -105,6 +105,8 @@ def train(cfg) -> Tuple[dict, dict]:
         save_every_n_epochs=int(cb.get("every_n_epochs", 100)),
         save_top_k=int(cb.get("save_top_k", 10)),
         hparams={"cfg": dict(cfg)},
+        scheduler=cfg.model.get("scheduler"),
+        loggers=cfg.get("logger", {"tensorboard": {}}),
     )
 
     metric_dict = {}

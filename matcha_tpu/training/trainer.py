@@ -55,15 +55,43 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0, gradient_clip_val: float = 5.0):
+def make_schedule(lr: float, scheduler: Optional[dict] = None):
+    """LR schedule from a config dict (the reference's lr_scheduler slot).
+
+    None -> constant; {"name": "exponential", "gamma": g, "interval_steps": n}
+    multiplies lr by g every n steps; {"name": "cosine", "decay_steps": n}.
+    """
+    if not scheduler:
+        return lr
+    name = scheduler.get("name", "exponential")
+    if name == "exponential":
+        return optax.exponential_decay(
+            init_value=lr,
+            transition_steps=int(scheduler.get("interval_steps", 1000)),
+            decay_rate=float(scheduler.get("gamma", 0.999)),
+        )
+    if name == "cosine":
+        return optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=int(scheduler.get("decay_steps", 100_000))
+        )
+    raise ValueError(f"Unknown scheduler {name!r}")
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.0,
+    gradient_clip_val: float = 5.0,
+    scheduler: Optional[dict] = None,
+):
     """Adam + global-norm clip (reference training protocol)."""
+    schedule = make_schedule(lr, scheduler)
     chain = []
     if gradient_clip_val:
         chain.append(optax.clip_by_global_norm(gradient_clip_val))
     if weight_decay:
-        chain.append(optax.adamw(lr, weight_decay=weight_decay))
+        chain.append(optax.adamw(schedule, weight_decay=weight_decay))
     else:
-        chain.append(optax.adam(lr))
+        chain.append(optax.adam(schedule))
     return optax.chain(*chain)
 
 
@@ -113,12 +141,16 @@ def make_eval_step(model: MatchaTTS, out_size: Optional[int] = None):
 
 
 class MetricLogger:
-    """tensorboardX writer with the reference's metric names; silently a
-    no-op when tensorboardX is unavailable."""
+    """Metric backends: tensorboardX (default) and/or CSV, selected like
+    the reference's configs/logger group; no-op off process 0."""
 
-    def __init__(self, logdir: Optional[str]):
+    def __init__(self, logdir: Optional[str], csv_path: Optional[str] = None):
         self.writer = None
-        if logdir and jax.process_index() == 0:
+        self._csv = None
+        self._csv_fields = None
+        if jax.process_index() != 0:
+            return
+        if logdir:
             try:
                 from tensorboardX import SummaryWriter
 
@@ -126,11 +158,20 @@ class MetricLogger:
                 self.writer = SummaryWriter(logdir)
             except ImportError:  # pragma: no cover
                 log.warning("tensorboardX not available; metrics not persisted")
+        if csv_path:
+            os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+            self._csv = open(csv_path, "a", encoding="utf-8", buffering=1)
 
     def scalars(self, metrics: Dict[str, float], step: int) -> None:
         if self.writer:
             for k, v in metrics.items():
                 self.writer.add_scalar(k, float(v), step)
+        if self._csv:
+            if self._csv_fields is None:
+                self._csv_fields = ["step"] + sorted(metrics)
+                self._csv.write(",".join(self._csv_fields) + "\n")
+            row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+            self._csv.write(",".join(str(row.get(f, "")) for f in self._csv_fields) + "\n")
 
     def image(self, tag: str, img: np.ndarray, step: int) -> None:
         if self.writer:
@@ -143,6 +184,34 @@ class MetricLogger:
     def close(self) -> None:
         if self.writer:
             self.writer.close()
+        if self._csv:
+            self._csv.close()
+
+
+def prefetch_iterator(iterator, depth: int = 2):
+    """Background-thread prefetch: overlap host-side data prep (espeak,
+    STFT/mel) with device compute — the analog of the reference's
+    dataloader worker pool (num_workers, configs/data/ljspeech.yaml)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
 
 
 class Trainer:
@@ -173,6 +242,8 @@ class Trainer:
         save_top_k: int = 10,
         log_validation_images: bool = True,
         hparams: Optional[dict] = None,
+        scheduler: Optional[dict] = None,
+        loggers: Optional[dict] = None,
     ):
         self.model = model
         self.dm = datamodule
@@ -204,10 +275,13 @@ class Trainer:
         n_data = max(1, _math.gcd(n_dev // n_model_axis, int(getattr(datamodule, "batch_size", n_dev))))
         self.mesh = make_mesh(n_data=n_data, n_model=n_model_axis,
                               devices=jax.devices()[: n_data * n_model_axis])
-        self.tx = make_optimizer(lr, weight_decay, gradient_clip_val)
+        self.tx = make_optimizer(lr, weight_decay, gradient_clip_val, scheduler)
         self.train_step = make_train_step(model, self.tx, out_size)
         self.eval_step = make_eval_step(model, out_size)
-        self.logger = MetricLogger(os.path.join(output_dir, "tensorboard"))
+        loggers = loggers if loggers is not None else {"tensorboard": {}}
+        tb_dir = os.path.join(output_dir, "tensorboard") if "tensorboard" in loggers else None
+        csv_path = os.path.join(output_dir, "csv", "metrics.csv") if "csv" in loggers else None
+        self.logger = MetricLogger(tb_dir, csv_path)
         self._ckpt_epochs: list = []
 
     # ------------------------------------------------------------------
@@ -262,7 +336,9 @@ class Trainer:
                     batches.append(b)
                 train_iter = iter(batches)
             else:
-                train_iter = self.dm.train_batches(epoch, limit=self.limit_train_batches)
+                train_iter = prefetch_iterator(
+                    self.dm.train_batches(epoch, limit=self.limit_train_batches)
+                )
 
             for i, batch in enumerate(train_iter):
                 if self.profiler == "jax" and i == 1 and epoch == 0:
