@@ -426,10 +426,16 @@ def build_parser() -> argparse.ArgumentParser:
 def cli(argv=None):
     args = build_parser().parse_args(argv)
     args = validate_args(args)
-    if args.cpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
+    if args.cpu:
+        # jax may already be imported (preloaded interpreters); the config
+        # route works as long as no backend has been initialised yet.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     if args.full_precision:
         jax.config.update("jax_default_matmul_precision", "highest")
     print(f"[+] Devices: {jax.devices()}")

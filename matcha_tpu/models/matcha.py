@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from matcha_tpu.models.components.decoder import Decoder
-from matcha_tpu.models.components.flow_matching import cfm_loss, cfm_sample, euler_schedule, solve_euler
+from matcha_tpu.models.components.flow_matching import cfm_loss, cfm_sample
 from matcha_tpu.models.components.text_encoder import TextEncoder
 from matcha_tpu.ops.mas import maximum_path
 from matcha_tpu.ops.seq import denormalize, duration_loss, generate_path, sequence_mask
