@@ -24,7 +24,23 @@ import time
 import numpy as np
 
 
+def _wait_for_devices(retries: int = 5, delay_s: float = 20.0):
+    """The remote-TPU registration is occasionally flaky at process start;
+    retry before giving up so the benchmark run survives transients."""
+    import jax
+
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if attempt == retries - 1:
+                raise
+            print(f"# devices unavailable ({e}); retrying in {delay_s}s", flush=True)
+            time.sleep(delay_s)
+
+
 def main() -> None:
+    _wait_for_devices()
     import jax
     import jax.numpy as jnp
 
