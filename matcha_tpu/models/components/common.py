@@ -86,6 +86,78 @@ class ConvTranspose1d(nn.Module):
         return y
 
 
+class WNConv1d(nn.Module):
+    """Weight-normalised Conv1d: w = g * v / ||v|| (torch weight_norm dim=0).
+
+    Used for vocoder training (the reference trains HiFi-GAN with weight
+    norm, matcha/hifigan/models.py); inference folds to a plain Conv1d.
+    Torch weight_v (out, in, k) maps to ours (k, in, out); weight_g
+    (out, 1, 1) maps to (out,).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        v = self.param(
+            "weight_v", nn.initializers.lecun_normal(),
+            (self.kernel_size, in_features, self.features),
+        )
+        g = self.param("weight_g", nn.initializers.ones, (self.features,))
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
+        w = v * (g[None, None, :] / norm)
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalised ConvTranspose1d (torch weight_norm dim=0, which on
+    a transposed conv normalises per *input* channel). Torch weight_v
+    (in, out, k) maps to ours (k, in, out) flipped; weight_g (in, 1, 1)
+    maps to (in,)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        v = self.param(
+            "weight_v", nn.initializers.lecun_normal(),
+            (self.kernel_size, in_features, self.features),
+        )
+        g = self.param("weight_g", nn.initializers.ones, (in_features,))
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 2), keepdims=True) + 1e-12)
+        w = v * (g[None, :, None] / norm)
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
 class ChannelLayerNorm(nn.Module):
     """LayerNorm over the channel axis with the reference's eps=1e-4
     (matcha text encoder convention)."""

@@ -18,7 +18,13 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from matcha_tpu.models.components.common import Conv1d, ConvTranspose1d, leaky_relu
+from matcha_tpu.models.components.common import (
+    Conv1d,
+    ConvTranspose1d,
+    WNConv1d,
+    WNConvTranspose1d,
+    leaky_relu,
+)
 
 LRELU_SLOPE = 0.1
 
@@ -61,17 +67,19 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = WNConv1d if self.weight_norm else Conv1d
         for i, d in enumerate(self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
-            xt = Conv1d(
+            xt = conv(
                 self.channels, self.kernel_size, dilation=d,
                 padding=get_padding(self.kernel_size, d), name=f"convs1_{i}",
             )(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
-            xt = Conv1d(
+            xt = conv(
                 self.channels, self.kernel_size, dilation=1,
                 padding=get_padding(self.kernel_size, 1), name=f"convs2_{i}",
             )(xt)
@@ -83,12 +91,14 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = WNConv1d if self.weight_norm else Conv1d
         for i, d in enumerate(self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
-            xt = Conv1d(
+            xt = conv(
                 self.channels, self.kernel_size, dilation=d,
                 padding=get_padding(self.kernel_size, d), name=f"convs_{i}",
             )(xt)
@@ -97,28 +107,37 @@ class ResBlock2(nn.Module):
 
 
 class Generator(nn.Module):
-    """Mel (B, T, 80) -> waveform (B, T*256, 1), tanh output."""
+    """Mel (B, T, 80) -> waveform (B, T*256, 1), tanh output.
+
+    ``weight_norm=True`` uses the (g, v) parameterisation for training
+    (the reference trains with weight norm and folds it for inference,
+    models.py:199-206); the default is the folded/plain form.
+    """
 
     config: HiFiGANConfig = field(default_factory=HiFiGANConfig)
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = self.config
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+        conv = WNConv1d if self.weight_norm else Conv1d
+        conv_t = WNConvTranspose1d if self.weight_norm else ConvTranspose1d
 
-        x = Conv1d(h.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        x = conv(h.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             x = leaky_relu(x, LRELU_SLOPE)
             ch = h.upsample_initial_channel // (2 ** (i + 1))
-            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
+            x = conv_t(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
             xs = None
             for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
-                block = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")
+                block = resblock_cls(ch, rk, tuple(rd), weight_norm=self.weight_norm,
+                                     name=f"resblocks_{i * num_kernels + j}")
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope here
-        x = Conv1d(1, 7, padding=3, name="conv_post")(x)
+        x = conv(1, 7, padding=3, name="conv_post")(x)
         return jnp.tanh(x)
 
 

@@ -49,8 +49,8 @@ def make_vocoder_optimizers(h: HiFiGANConfig):
     return gen_tx, disc_tx
 
 
-def init_vocoder_state(key, h: HiFiGANConfig, segment_size: int = 8192):
-    gen = Generator(h)
+def init_vocoder_state(key, h: HiFiGANConfig, segment_size: int = 8192, weight_norm: bool = True):
+    gen = Generator(h, weight_norm=weight_norm)
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
     k1, k2, k3 = jax.random.split(key, 3)

@@ -293,29 +293,51 @@ def load_torch_matcha_checkpoint(path: str) -> Tuple[dict, dict]:
 # ---------------------------------------------------------------------------
 
 
-def convert_hifigan_state_dict(sd: Dict[str, Any]) -> dict:
+def convert_hifigan_state_dict(sd: Dict[str, Any], fold: bool = True) -> dict:
     """Convert a torch HiFi-GAN generator state_dict (weight-normed) to a
-    flax param tree with weight norm folded."""
+    flax param tree.
+
+    ``fold=True`` (default) folds weight norm into plain conv kernels
+    (inference form); ``fold=False`` keeps the (g, v) parameterisation for
+    the training-mode ``Generator(weight_norm=True)``.
+    """
     out: dict = {}
 
-    def folded(prefix: str) -> np.ndarray:
+    def gv(prefix: str):
         if f"{prefix}.weight_g" in sd:
-            return fold_weight_norm(_np(sd[f"{prefix}.weight_g"]), _np(sd[f"{prefix}.weight_v"]))
+            return _np(sd[f"{prefix}.weight_g"]), _np(sd[f"{prefix}.weight_v"])
         # torch >= 2.1 parametrized naming
         if f"{prefix}.parametrizations.weight.original0" in sd:
-            return fold_weight_norm(
+            return (
                 _np(sd[f"{prefix}.parametrizations.weight.original0"]),
                 _np(sd[f"{prefix}.parametrizations.weight.original1"]),
             )
-        return _np(sd[f"{prefix}.weight"])
+        return None, _np(sd[f"{prefix}.weight"])
 
-    _set(out, "conv_pre/conv/kernel", conv1d_kernel(folded("conv_pre")))
-    _set(out, "conv_pre/conv/bias", _np(sd["conv_pre.bias"]))
+    def folded(prefix: str) -> np.ndarray:
+        g, v = gv(prefix)
+        return fold_weight_norm(g, v) if g is not None else v
+
+    def put_conv(prefix: str, path: str, transpose: bool = False) -> None:
+        to_kernel = conv_transpose1d_kernel if transpose else conv1d_kernel
+        if fold:
+            _set(out, f"{path}/conv/kernel" if not transpose else f"{path}/kernel",
+                 to_kernel(folded(prefix)))
+            _set(out, f"{path}/conv/bias" if not transpose else f"{path}/bias",
+                 _np(sd[f"{prefix}.bias"]))
+        else:
+            g, v = gv(prefix)
+            if g is None:
+                raise ValueError(f"{prefix}: no weight_norm params to keep unfolded")
+            _set(out, f"{path}/weight_v", to_kernel(v))
+            _set(out, f"{path}/weight_g", g.reshape(-1))
+            _set(out, f"{path}/bias", _np(sd[f"{prefix}.bias"]))
+
+    put_conv("conv_pre", "conv_pre")
 
     ups = sorted({int(m.group(1)) for k in sd if (m := re.match(r"ups\.(\d+)\.", k))})
     for i in ups:
-        _set(out, f"ups_{i}/kernel", conv_transpose1d_kernel(folded(f"ups.{i}")))
-        _set(out, f"ups_{i}/bias", _np(sd[f"ups.{i}.bias"]))
+        put_conv(f"ups.{i}", f"ups_{i}", transpose=True)
 
     res = sorted({int(m.group(1)) for k in sd if (m := re.match(r"resblocks\.(\d+)\.", k))})
     for n in res:
@@ -324,11 +346,9 @@ def convert_hifigan_state_dict(sd: Dict[str, Any]) -> dict:
                 {int(m.group(1)) for k in sd if (m := re.match(rf"resblocks\.{n}\.{group}\.(\d+)\.", k))}
             )
             for j in js:
-                _set(out, f"resblocks_{n}/{group}_{j}/conv/kernel", conv1d_kernel(folded(f"resblocks.{n}.{group}.{j}")))
-                _set(out, f"resblocks_{n}/{group}_{j}/conv/bias", _np(sd[f"resblocks.{n}.{group}.{j}.bias"]))
+                put_conv(f"resblocks.{n}.{group}.{j}", f"resblocks_{n}/{group}_{j}")
 
-    _set(out, "conv_post/conv/kernel", conv1d_kernel(folded("conv_post")))
-    _set(out, "conv_post/conv/bias", _np(sd["conv_post.bias"]))
+    put_conv("conv_post", "conv_post")
     return {"params": out}
 
 
