@@ -307,6 +307,37 @@ def _rtf(t_seconds: float, n_samples: int) -> float:
     return t_seconds * 22050 / max(n_samples, 1)
 
 
+def long_form_synthesis(args, pipeline: TTSPipeline, text: str, spk):
+    """Sentence-chunked streaming synthesis for long inputs: each chunk
+    runs through the cached fixed-shape graphs, waveforms concatenate."""
+    import jax
+
+    from matcha_tpu.text.segment import split_sentences
+
+    chunks = split_sentences(text)
+    print(f"[🍵] Long-form input: {len(chunks)} chunks")
+    wavs, mels = [], []
+    start_t = dt.datetime.now()
+    for ci, chunk in enumerate(chunks):
+        tp = process_text(ci, chunk, pipeline.cleaner)
+        out = pipeline.synthesise_batch(
+            tp["x"], tp["x_lengths"], jax.random.PRNGKey(args.seed + ci),
+            n_timesteps=args.steps, temperature=args.temperature,
+            length_scale=args.speaking_rate, spks=spk,
+        )
+        ml = int(out["mel_lengths"][0])
+        wavs.append(np.asarray(out["waveform"][0])[: ml * 256])
+        mels.append(np.asarray(out["mel"][0])[:, :ml])
+    wav = np.concatenate(wavs)
+    mel = np.concatenate(mels, axis=1)
+    t = (dt.datetime.now() - start_t).total_seconds()
+    rtf_w = _rtf(t, wav.shape[-1])
+    print(f"[🍵] Long-form RTF (incl. vocoder): {rtf_w:.4f} for {wav.shape[-1]/22050:.1f}s of audio")
+    base_name = "utterance_long_form"
+    location = save_to_folder(base_name, {"mel": mel, "waveform": wav}, args.output_folder)
+    print(f"[+] Waveform saved: {location}")
+
+
 def unbatched_synthesis(args, pipeline: TTSPipeline, texts, spk):
     import jax
 
@@ -416,6 +447,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--denoiser_strength", type=float, default=0.00025, help="Strength of the vocoder bias denoiser (default: 0.00025)")
     parser.add_argument("--output_folder", type=str, default=os.getcwd(), help="Output folder to save results (default: current dir)")
     parser.add_argument("--batched", action="store_true", help="Batched inference (default: False)")
+    parser.add_argument("--long-form", action="store_true", help="Sentence-chunked streaming synthesis for long --text inputs")
     parser.add_argument("--batch_size", type=int, default=32, help="Batch size only useful when --batched (default: 32)")
     parser.add_argument("--seed", type=int, default=1234, help="Noise seed (explicit PRNG; default 1234)")
     parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
@@ -455,7 +487,9 @@ def cli(argv=None):
 
     texts = get_texts(args)
     spk = np.asarray([args.spk], dtype=np.int32) if args.spk is not None else None
-    if len(texts) == 1 or not args.batched:
+    if args.long_form and args.text:
+        long_form_synthesis(args, pipeline, args.text, spk)
+    elif len(texts) == 1 or not args.batched:
         unbatched_synthesis(args, pipeline, texts, spk)
     else:
         batched_synthesis(args, pipeline, texts, spk)

@@ -15,6 +15,7 @@ default leaky-relu slope 0.01, not 0.1 (models.py:193) — kept.
 from dataclasses import dataclass, field
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -194,8 +195,55 @@ class DiscriminatorP(nn.Module):
         return x.reshape(B, -1), fmap
 
 
+def _spectral_normalize(kernel: jnp.ndarray, n_iters: int = 7) -> jnp.ndarray:
+    """Divide a conv kernel by its spectral norm (largest singular value of
+    the (out, rest) matricisation), estimated by stateless power iteration
+    from a fixed start — the pure-functional analog of torch
+    spectral_norm's running-u estimate."""
+    out_dim = kernel.shape[-1]
+    w = kernel.reshape(-1, out_dim)  # (rest, out)
+    u = jnp.full((out_dim,), 1.0 / jnp.sqrt(out_dim), dtype=kernel.dtype)
+    for _ in range(n_iters):
+        v = w @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u = w.T @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+    sigma = v @ (w @ u)
+    return kernel / (sigma + 1e-12)
+
+
+class SNConv1d(nn.Module):
+    """Spectral-normalised 1-D conv (grouped)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_per_group = x.shape[-1] // self.groups
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, in_per_group, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = _spectral_normalize(kernel)
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(self.stride,), padding=[(self.padding, self.padding)],
+            feature_group_count=self.groups, dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return y + bias
+
+
 class DiscriminatorS(nn.Module):
-    """Scale discriminator: grouped 1-D convs on the raw waveform."""
+    """Scale discriminator: grouped 1-D convs on the raw waveform.
+
+    The reference's first MSD discriminator is spectral-normalised
+    (models.py:311); the rest use weight norm (folded here)."""
+
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -210,13 +258,19 @@ class DiscriminatorS(nn.Module):
             (1024, 5, 1, 2, 1),
         ]
         for i, (ch, k, s, p, g) in enumerate(specs):
-            x = nn.Conv(
-                ch, (k,), strides=(s,), padding=[(p, p)], feature_group_count=g,
-                name=f"convs_{i}",
-            )(x)
+            if self.use_spectral_norm:
+                x = SNConv1d(ch, k, s, p, g, name=f"convs_{i}")(x)
+            else:
+                x = nn.Conv(
+                    ch, (k,), strides=(s,), padding=[(p, p)], feature_group_count=g,
+                    name=f"convs_{i}",
+                )(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = nn.Conv(1, (3,), padding=[(1, 1)], name="conv_post")(x)
+        if self.use_spectral_norm:
+            x = SNConv1d(1, 3, 1, 1, name="conv_post")(x)
+        else:
+            x = nn.Conv(1, (3,), padding=[(1, 1)], name="conv_post")(x)
         fmap.append(x)
         return x.reshape(x.shape[0], -1), fmap
 
@@ -254,7 +308,7 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = avg_pool1d(y)
                 y_hat = avg_pool1d(y_hat)
-            d = DiscriminatorS(name=f"discriminators_{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"discriminators_{i}")
             y_d_r, fmap_r = d(y)
             y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)
