@@ -59,6 +59,10 @@ class MatchaTTS(nn.Module):
     sigma_min: float = 1e-4
     # losses
     prior_loss: bool = True
+    # rematerialize the CFM estimator in the backward pass (trade FLOPs
+    # for HBM; enables bigger batches/longer mels than the reference's
+    # out_size segment-cut hack)
+    remat: bool = False
     # data statistics (stored with the model like the reference's buffers,
     # baselightningmodule.py:20-28)
     mel_mean: float = 0.0
@@ -302,6 +306,8 @@ class MatchaTTS(nn.Module):
         mu_y = jnp.einsum("bxy,bxf->byf", attn, mu_x)
 
         estimator = self._estimator(deterministic=not self.has_rng("dropout"))
+        if self.remat and not self.is_initializing():
+            estimator = jax.checkpoint(estimator)
         k_cfm = key
         diff_loss, _ = cfm_loss(
             estimator, k_cfm, y, y_mask, mu_y, spk_emb, sigma_min=self.sigma_min

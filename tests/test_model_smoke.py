@@ -94,3 +94,25 @@ def test_dropout_rng_changes_training_loss(tiny_model_and_params):
     d2 = loss_fn(params, k, jax.random.PRNGKey(7))
     # same data/noise keys, different dropout masks -> different diff loss
     assert float(d1[2]) != float(d2[2])
+
+
+def test_remat_losses_match(tiny_model_and_params):
+    """remat=True recomputes activations but must not change values."""
+    from matcha_tpu.models import MatchaTTS
+
+    _, params, (x, xl, y, yl) = tiny_model_and_params
+    m_plain = MatchaTTS(**TINY)
+    m_remat = MatchaTTS(**TINY, remat=True)
+    k = jax.random.PRNGKey(11)
+
+    def total(model):
+        loss_fn = jax.jit(lambda p: sum(model.apply(p, x, xl, y, yl, k)[:3]))
+        val = loss_fn(params)
+        grad = jax.jit(jax.grad(lambda p: sum(model.apply(p, x, xl, y, yl, k)[:3])))(params)
+        gn = sum(float(np.abs(g).sum()) for g in jax.tree.leaves(grad))
+        return float(val), gn
+
+    v1, g1 = total(m_plain)
+    v2, g2 = total(m_remat)
+    assert abs(v1 - v2) < 1e-4
+    assert abs(g1 - g2) / max(g1, 1e-6) < 1e-3
