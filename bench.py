@@ -86,15 +86,20 @@ def main() -> None:
         wav = vocode(voc_params, mel_btc)[..., 0]
         return wav
 
-    # Warmup / compile
+    # Warmup / compile. NOTE: completion is forced by fetching a scalar
+    # from the result — block_until_ready() can return before the remote
+    # device finishes on tunnel-attached TPUs, which silently turns the
+    # benchmark into a dispatch-rate measurement.
     wav = run(key)
-    wav.block_until_ready()
+    float(wav[0, 0])
 
     n_iters = 10
+    acc = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(n_iters):
         wav = run(jax.random.fold_in(key, i))
-    wav.block_until_ready()
+        acc = acc + wav[0, 0]  # chains every iteration into one dependency
+    float(acc)  # forces the whole chain
     wall = time.perf_counter() - t0
 
     audio_seconds = n_iters * B * T_y * HOP / SR
