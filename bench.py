@@ -66,24 +66,23 @@ def main() -> None:
     vocoder = Generator(HiFiGANConfig())
     voc_params = vocoder.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 80)))
 
-    import functools
-
-    encode = jax.jit(functools.partial(model.apply, method=MatchaTTS.encode))
-    decode = jax.jit(functools.partial(
-        model.apply, method=MatchaTTS.decode,
-        n_timesteps=N_STEPS, temperature=0.667, y_max_length=T_y,
-    ))
-    vocode = jax.jit(vocoder.apply)
-
     frames_per_token = T_y // T_x
     w_fill = jnp.full((B, T_x, 1), float(frames_per_token))
     y_lengths = jnp.full((B,), T_y, jnp.int32)
 
+    # Fused single-jit text->wav graph (the BASELINE.json headline config):
+    # encoder + duration expand + 10-step CFM scan + HiFi-GAN in ONE
+    # executable — one dispatch per batch, no intermediate host hops.
+    @jax.jit
     def run(key):
-        mu_x, _w, _yl = encode(params, x, x_lengths)
-        out = decode(params, mu_x, w_fill, x_lengths, y_lengths, key)
+        mu_x, _w, _yl = model.apply(params, x, x_lengths, method=MatchaTTS.encode)
+        out = model.apply(
+            params, mu_x, w_fill, x_lengths, y_lengths, key,
+            n_timesteps=N_STEPS, temperature=0.667, y_max_length=T_y,
+            method=MatchaTTS.decode,
+        )
         mel_btc = jnp.swapaxes(out["mel"], 1, 2)
-        wav = vocode(voc_params, mel_btc)[..., 0]
+        wav = vocoder.apply(voc_params, mel_btc)[..., 0]
         return wav
 
     # Warmup / compile. NOTE: completion is forced by fetching a scalar

@@ -86,6 +86,78 @@ class ConvTranspose1d(nn.Module):
         return y
 
 
+def _subpixel_plan(kernel_size: int, stride: int, padding: int):
+    """Phase decomposition of a stride-u transposed conv.
+
+    Our ConvTranspose1d computes y[j] = sum_h K[h] * xd[j + h - A] with
+    A = k-1-p and xd the u-dilated input. For output phase r = j % u the
+    valid taps are h with (r + h - A) % u == 0, reading input offset
+    d = (r + h - A) / u. Returns (d_min, L, placements) where placements
+    maps (phase, slot_in_L) -> kernel tap h.
+    """
+    u, k, A = stride, kernel_size, kernel_size - 1 - padding
+    placements = []
+    d_all = []
+    for r in range(u):
+        taps = []
+        for h in range(k):
+            if (r + h - A) % u == 0:
+                d = (r + h - A) // u
+                taps.append((d, h))
+                d_all.append(d)
+        placements.append(taps)
+    d_min, d_max = min(d_all), max(d_all)
+    return d_min, d_max - d_min + 1, placements
+
+
+class SubPixelConvTranspose1d(nn.Module):
+    """Transposed conv as a regular conv + depth-to-space interleave.
+
+    Numerically identical to :class:`ConvTranspose1d` (same 'kernel'/'bias'
+    params, so converted checkpoints are interchangeable) but avoids
+    ``lhs_dilation``, which XLA:TPU executes far less efficiently than a
+    dense conv (the vocoder's upsampling path is the hot spot).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, in_features, self.features),
+        )
+        u = self.stride
+        d_min, L, placements = _subpixel_plan(self.kernel_size, u, self.padding)
+
+        # Pack phase sub-kernels along the output-channel axis:
+        # W_all[l, :, r*out + o] = kernel[h, :, o] for (d, h) with d-d_min==l.
+        w_all = jnp.zeros((L, in_features, u * self.features), kernel.dtype)
+        for r, taps in enumerate(placements):
+            for d, h in taps:
+                w_all = w_all.at[d - d_min, :, r * self.features : (r + 1) * self.features].set(
+                    kernel[h]
+                )
+
+        x_pad = jnp.pad(x, ((0, 0), (-d_min, L - 1 + d_min), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            x_pad, w_all, window_strides=(1,), padding=[(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )  # (B, T, u*out)
+        B, T, _ = y.shape
+        y = y.reshape(B, T, u, self.features).reshape(B, T * u, self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
 class WNConv1d(nn.Module):
     """Weight-normalised Conv1d: w = g * v / ||v|| (torch weight_norm dim=0).
 

@@ -22,6 +22,7 @@ from flax import linen as nn
 from matcha_tpu.models.components.common import (
     Conv1d,
     ConvTranspose1d,
+    SubPixelConvTranspose1d,
     WNConv1d,
     WNConvTranspose1d,
     leaky_relu,
@@ -117,6 +118,11 @@ class Generator(nn.Module):
 
     config: HiFiGANConfig = field(default_factory=HiFiGANConfig)
     weight_norm: bool = False
+    # 'dilated' = lhs_dilation conv transpose; 'subpixel' = dense conv +
+    # depth-to-space interleave (numerically identical; measured within 5%
+    # of each other on v5e — the vocoder is bandwidth-bound in the MRF
+    # stacks, not upsample-bound; see PERFORMANCE.md).
+    upsample_impl: str = "dilated"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +130,10 @@ class Generator(nn.Module):
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
         conv = WNConv1d if self.weight_norm else Conv1d
-        conv_t = WNConvTranspose1d if self.weight_norm else ConvTranspose1d
+        if self.weight_norm:
+            conv_t = WNConvTranspose1d
+        else:
+            conv_t = SubPixelConvTranspose1d if self.upsample_impl == "subpixel" else ConvTranspose1d
 
         x = conv(h.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
