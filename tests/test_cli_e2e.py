@@ -145,3 +145,29 @@ def test_cli_mel_lengths_respect_speaking_rate(fabricated_ckpts, monkeypatch, tm
     out_fast = pipeline.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1, length_scale=0.7)
     out_slow = pipeline.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1, length_scale=1.4)
     assert int(out_slow["mel_lengths"][0]) > int(out_fast["mel_lengths"][0])
+
+
+@pytest.mark.slow
+def test_cli_bf16_vocoder_close_to_f32(fabricated_ckpts, monkeypatch):
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder, process_text
+
+    ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    voc_ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    model, params = load_matcha("matcha_ljspeech", ckpt)
+    vocoder, voc_params, bias = load_vocoder("hifigan_T2_v1", voc_ckpt)
+
+    tp = process_text(0, "precision check", "english_cleaners_no_espeak")
+    key = jax.random.PRNGKey(0)
+    kw = dict(n_timesteps=1, length_scale=1.0)
+    p32 = TTSPipeline(model, params, vocoder, voc_params, None, "english_cleaners_no_espeak")
+    p16 = TTSPipeline(model, params, vocoder, voc_params, None, "english_cleaners_no_espeak", vocoder_bf16=True)
+    w32 = np.asarray(p32.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)["waveform"])
+    w16 = np.asarray(p16.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)["waveform"])
+    assert w16.dtype == np.float32
+    # Random (untrained) vocoder weights sit in tanh's saturated/chaotic
+    # regime, so pointwise max-deviation is unbounded; the mean deviation
+    # bounds the audible effect (trained weights measured ~1e-3 max).
+    assert np.abs(w16 - w32).mean() < 0.02
