@@ -125,6 +125,11 @@ def main(argv=None) -> Optional[float]:
         level=logging.INFO,
         format="[%(asctime)s][%(name)s][%(levelname)s] - %(message)s",
     )
+    # Multi-host bootstrap (the DDP rank-management analog, SURVEY §2.4):
+    # no-op unless MATCHA_DIST/MATCHA_COORDINATOR_ADDRESS opt in.
+    from matcha_tpu.parallel.dist import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = compose("train", overrides=argv)
     extras(cfg)

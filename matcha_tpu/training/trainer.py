@@ -160,6 +160,7 @@ class MetricLogger:
                 log.warning("tensorboardX not available; metrics not persisted")
         if csv_path:
             os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+            self._csv_path = csv_path
             self._csv = open(csv_path, "a", encoding="utf-8", buffering=1)
 
     def scalars(self, metrics: Dict[str, float], step: int) -> None:
@@ -167,9 +168,25 @@ class MetricLogger:
             for k, v in metrics.items():
                 self.writer.add_scalar(k, float(v), step)
         if self._csv:
+            new_fields = [k for k in sorted(metrics) if self._csv_fields is None or k not in self._csv_fields]
             if self._csv_fields is None:
-                self._csv_fields = ["step"] + sorted(metrics)
+                self._csv_fields = ["step"] + new_fields
                 self._csv.write(",".join(self._csv_fields) + "\n")
+            elif new_fields:
+                # Key set grew (e.g. first validation pass adds val metrics):
+                # rewrite the file with the widened header so the new columns
+                # are not silently dropped.
+                self._csv_fields += new_fields
+                self._csv.flush()
+                with open(self._csv_path, encoding="utf-8") as f:
+                    lines = f.read().splitlines()
+                body = lines[1:] if lines else []
+                pad = "," * len(new_fields)
+                self._csv.close()
+                self._csv = open(self._csv_path, "w", encoding="utf-8", buffering=1)
+                self._csv.write(",".join(self._csv_fields) + "\n")
+                for line in body:
+                    self._csv.write(line + pad + "\n")
             row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
             self._csv.write(",".join(str(row.get(f, "")) for f in self._csv_fields) + "\n")
 
@@ -240,6 +257,8 @@ class Trainer:
         profiler: Optional[str] = None,
         save_every_n_epochs: int = 100,
         save_top_k: int = 10,
+        monitor: str = "epoch",
+        monitor_mode: str = "max",
         log_validation_images: bool = True,
         hparams: Optional[dict] = None,
         scheduler: Optional[dict] = None,
@@ -261,8 +280,15 @@ class Trainer:
         self.profiler = profiler
         self.save_every_n_epochs = save_every_n_epochs
         self.save_top_k = save_top_k
+        # Top-k checkpoints keep the best `monitor` values (reference
+        # configs/callbacks/model_checkpoint.yaml monitors `epoch` max —
+        # i.e. most-recent-k; `loss/val` min keeps the best-validating k).
+        self.monitor = monitor
+        self.monitor_mode = monitor_mode
         self.log_validation_images = log_validation_images
         self.hparams = hparams or {}
+        self._start_epoch = 0
+        self._last_val: Dict[str, float] = {}
 
         if detect_anomaly:
             jax.config.update("jax_debug_nans", True)
@@ -288,12 +314,23 @@ class Trainer:
     def init_state(self, sample_batch: dict, restore_from: Optional[str] = None) -> TrainState:
         key = jax.random.PRNGKey(self.seed)
         if restore_from:
-            from matcha_tpu.utils.checkpoints import load_native_checkpoint
+            from matcha_tpu.utils.checkpoints import load_native_checkpoint, restore_opt_state
 
             params, _, step, extra = load_native_checkpoint(restore_from)
-            opt_state = self.tx.init(params)
+            template = self.tx.init(params)
+            if extra and extra.get("opt_leaves") is not None:
+                # Full-state resume: Adam moments + schedule position continue
+                # exactly (the reference restores optimizer/scheduler state,
+                # baselightningmodule.py:35-43).
+                opt_state = restore_opt_state(extra["opt_leaves"], template)
+            else:
+                log.warning("Checkpoint has no optimizer state; re-initialising Adam moments")
+                opt_state = template
+            self._start_epoch = int(extra.get("epoch", 0)) if extra else 0
             state = TrainState(step=jnp.asarray(step, jnp.int32), params=params, opt_state=opt_state)
-            log.info(f"Restored checkpoint at step {step} from {restore_from}")
+            log.info(
+                f"Restored checkpoint at step {step} (epoch {self._start_epoch}) from {restore_from}"
+            )
         else:
             params = self.model.init(
                 {"params": key},
@@ -330,8 +367,11 @@ class Trainer:
 
         base_key = jax.random.PRNGKey(self.seed + 17)
         last_metrics: Dict[str, float] = {}
-        epoch = int(state.step) and 0  # epochs restart on resume; step persists
-        max_epochs = 1 if self.fast_dev_run else (self.max_epochs if self.max_epochs > 0 else 10**9)
+        epoch = self._start_epoch  # completed epochs restored from the checkpoint
+        max_epochs = (
+            epoch + 1 if self.fast_dev_run  # fdr: always one step, even resumed
+            else (self.max_epochs if self.max_epochs > 0 else 10**9)
+        )
 
         stop = False
         while epoch < max_epochs and not stop:
@@ -382,14 +422,16 @@ class Trainer:
 
             if (epoch + 1) % self.check_val_every_n_epoch == 0 or self.fast_dev_run:
                 val = self.validate(state, epoch)
+                self._last_val = val
                 last_metrics.update({f"val_{k}": v for k, v in val.items()})
 
-            self._maybe_checkpoint(state, epoch)
+            self._maybe_checkpoint(state, epochs_done=epoch + 1)
             log.info(f"epoch {epoch} done in {time.time()-t_epoch:.1f}s")
             epoch += 1
 
         self._save(state, epoch, tag="last")
         self.logger.close()
+        self._final_state = state  # inspectable after fit (tests, eval)
         return {"loss/train": last_metrics.get("loss", float("nan")),
                 "loss/val": last_metrics.get("val_loss", float("nan"))}
 
@@ -409,6 +451,17 @@ class Trainer:
             count += 1
             if self.fast_dev_run:
                 break
+        if jax.process_count() > 1:
+            # sync_dist analog (reference baselightningmodule.py:127-165):
+            # sum the per-process loss sums + counts across hosts so every
+            # process logs the same global validation means.
+            from jax.experimental import multihost_utils
+
+            keys = sorted(sums)
+            local = np.asarray([sums[k] for k in keys] + [float(count)], np.float32)
+            total = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+            sums = {k: float(total[i]) for i, k in enumerate(keys)}
+            count = int(total[-1])
         if count == 0:
             return {}
         means = {k: v / count for k, v in sums.items()}
@@ -453,34 +506,44 @@ class Trainer:
             self.logger.image(f"alignment/{i}", plot_tensor(np.asarray(out["attn"][i])), epoch)
 
     # ------------------------------------------------------------------
-    def _maybe_checkpoint(self, state: TrainState, epoch: int) -> None:
-        self._save(state, epoch, tag="last")
-        if self.save_every_n_epochs and (epoch + 1) % self.save_every_n_epochs == 0:
-            path = self._save(state, epoch)
-            self._ckpt_epochs.append((epoch, path))
-            while len(self._ckpt_epochs) > self.save_top_k:
-                _, old = self._ckpt_epochs.pop(0)
+    def _monitor_score(self, epoch: int) -> float:
+        """Score used for top-k retention (larger = better)."""
+        if self.monitor == "epoch":
+            val = float(epoch)
+        else:
+            key = self.monitor.replace("loss/val", "loss").replace("val_", "")
+            val = self._last_val.get(key, float("nan"))
+        if self.monitor_mode == "min":
+            val = -val
+        return val if val == val else float("-inf")  # NaN -> never retained over real scores
+
+    def _maybe_checkpoint(self, state: TrainState, epochs_done: int) -> None:
+        self._save(state, epochs_done, tag="last")
+        if self.save_every_n_epochs and epochs_done % self.save_every_n_epochs == 0:
+            path = self._save(state, epochs_done)
+            self._ckpt_epochs.append((self._monitor_score(epochs_done), len(self._ckpt_epochs), path))
+            if len(self._ckpt_epochs) > self.save_top_k:
+                self._ckpt_epochs.sort()
+                _, _, old = self._ckpt_epochs.pop(0)  # drop the worst-scoring
                 import shutil
 
                 shutil.rmtree(old, ignore_errors=True)
+                try:
+                    os.remove(old + ".hparams.json")
+                except OSError:
+                    pass
 
-    def _save(self, state: TrainState, epoch: int, tag: Optional[str] = None) -> str:
+    def _save(self, state: TrainState, epochs_done: int, tag: Optional[str] = None) -> str:
+        """Checkpoint the FULL training state (params + optimizer moments +
+        step + completed-epoch count) so resume continues bit-identically."""
         if jax.process_index() != 0:
             return ""
         ckpt_dir = os.path.join(self.output_dir, "checkpoints")
         params = jax.device_get(state.params)
+        opt_state = jax.device_get(state.opt_state)
         step = int(state.step)
-        if tag == "last":
-            import orbax.checkpoint as ocp
-
-            os.makedirs(ckpt_dir, exist_ok=True)
-            path = os.path.join(ckpt_dir, "last")
-            ckptr = ocp.StandardCheckpointer()
-            ckptr.save(path, {"params": params}, force=True)
-            ckptr.wait_until_finished()
-            import json
-
-            with open(path + ".hparams.json", "w", encoding="utf-8") as f:
-                json.dump({"hparams": self.hparams, "step": step, "epoch": epoch}, f, default=str)
-            return path
-        return save_native_checkpoint(ckpt_dir, params, {**self.hparams, "epoch": epoch}, step=step)
+        return save_native_checkpoint(
+            ckpt_dir, params, {**self.hparams, "epoch": epochs_done},
+            step=step, opt_state=opt_state, epoch=epochs_done,
+            name="last" if tag == "last" else None,
+        )

@@ -366,38 +366,85 @@ def load_torch_hifigan_checkpoint(path: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def save_native_checkpoint(ckpt_dir: str, params, hparams: dict, step: int = 0, extra=None) -> str:
-    """Save a native checkpoint: orbax pytree + hparams json."""
+def save_native_checkpoint(
+    ckpt_dir: str,
+    params,
+    hparams: dict,
+    step: int = 0,
+    extra=None,
+    opt_state=None,
+    epoch: int = 0,
+    name: Optional[str] = None,
+) -> str:
+    """Save a native checkpoint: orbax pytree + hparams json.
+
+    With ``opt_state`` the FULL training state is checkpointed (the
+    reference restores optimizer + scheduler state on resume,
+    matcha/models/baselightningmodule.py:35-43; train.py:79 ``ckpt_path``).
+    Optimizer state is stored as its flat leaf list — the treedef (optax
+    namedtuples) is rebuilt from ``tx.init(params)`` at restore time.
+    ``epoch`` records the number of COMPLETED epochs at save time.
+    """
+    import jax
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, f"checkpoint_{step:06d}")
+    name = name if name is not None else f"checkpoint_{step:06d}"
+    path = os.path.join(ckpt_dir, name)
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_leaves"] = [np.asarray(x) for x in jax.tree.leaves(opt_state)]
     if extra is not None:
         payload["extra"] = extra
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(ckpt_dir, f"checkpoint_{step:06d}.hparams.json"), "w", encoding="utf-8") as f:
-        json.dump({"hparams": hparams, "step": step}, f, indent=2, default=str)
+    with open(os.path.join(ckpt_dir, f"{name}.hparams.json"), "w", encoding="utf-8") as f:
+        json.dump({"hparams": hparams, "step": step, "epoch": epoch}, f, indent=2, default=str)
     return path
 
 
 def load_native_checkpoint(path: str):
-    """Load a native checkpoint -> (params, hparams, step, extra)."""
+    """Load a native checkpoint -> (params, hparams, step, extra).
+
+    ``extra`` is a dict with ``opt_leaves`` (flat optimizer-state arrays,
+    or None for params-only checkpoints), ``epoch`` (completed epochs),
+    and any user payload under ``user``.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path)
     hp_file = path + ".hparams.json"
-    hparams, step = {}, 0
+    hparams, step, epoch = {}, 0, 0
     if os.path.exists(hp_file):
         with open(hp_file, encoding="utf-8") as f:
             meta = json.load(f)
-        hparams, step = meta.get("hparams", {}), meta.get("step", 0)
-    return payload["params"], hparams, step, payload.get("extra")
+        hparams, step, epoch = meta.get("hparams", {}), meta.get("step", 0), meta.get("epoch", 0)
+    extra = {
+        "opt_leaves": payload.get("opt_leaves"),
+        "epoch": epoch,
+        "user": payload.get("extra"),
+    }
+    return payload["params"], hparams, step, extra
+
+
+def restore_opt_state(opt_leaves, template):
+    """Rebuild an optax state pytree from saved flat leaves + a treedef
+    template (``tx.init(params)``)."""
+    import jax
+
+    treedef = jax.tree.structure(template)
+    shapes = [np.shape(x) for x in jax.tree.leaves(template)]
+    got = [np.shape(x) for x in opt_leaves]
+    if shapes != got:
+        raise ValueError(
+            f"optimizer state mismatch: checkpoint has {len(got)} leaves "
+            f"{got[:3]}..., optimizer expects {len(shapes)} {shapes[:3]}..."
+        )
+    return jax.tree.unflatten(treedef, list(opt_leaves))
 
 
 def scan_checkpoints(ckpt_dir: str) -> Optional[str]:

@@ -115,6 +115,76 @@ def test_trainer_one_step_and_restore(tmp_path, datamodule):
 
 
 @pytest.mark.slow
+def test_full_state_resume_bit_identical(tmp_path, datamodule):
+    """Interrupted training continues BIT-IDENTICALLY after restore:
+    params + Adam moments + step + epoch all round-trip (the reference
+    restores full training state, baselightningmodule.py:35-43)."""
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.trainer import Trainer
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=16, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(16, 16), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16, enc_prenet=False,
+    )
+
+    def make_trainer(out_dir, max_epochs):
+        return Trainer(
+            model=MatchaTTS(**tiny), datamodule=datamodule, lr=1e-3,
+            max_epochs=max_epochs, output_dir=out_dir, seed=7,
+            log_validation_images=False, check_val_every_n_epoch=100,
+            save_every_n_epochs=0, loggers={},
+        )
+
+    # Uninterrupted: 4 epochs.
+    t_full = make_trainer(str(tmp_path / "full"), 4)
+    t_full.fit()
+    full_state = t_full._final_state
+
+    # Interrupted: 2 epochs, then restore and run to 4.
+    t_a = make_trainer(str(tmp_path / "resume"), 2)
+    t_a.fit()
+    last = os.path.join(str(tmp_path / "resume"), "checkpoints", "last")
+    meta = json.loads(open(last + ".hparams.json").read())
+    assert meta["epoch"] == 2 and meta["step"] == 4  # 2 batches/epoch
+
+    t_b = make_trainer(str(tmp_path / "resume"), 4)
+    t_b.fit(restore_from=last)
+    resumed_state = t_b._final_state
+    assert int(resumed_state.step) == int(full_state.step) == 8
+
+    flat_full = jax.tree.leaves(jax.device_get(full_state.params))
+    flat_res = jax.tree.leaves(jax.device_get(resumed_state.params))
+    for a, b in zip(flat_full, flat_res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments too
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(full_state.opt_state)),
+        jax.tree.leaves(jax.device_get(resumed_state.opt_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_csv_logger_val_columns(tmp_path):
+    """Validation metrics appearing after training metrics widen the CSV
+    header instead of being dropped (round-1 weak #3)."""
+    from matcha_tpu.training.trainer import MetricLogger
+
+    csv_path = str(tmp_path / "metrics.csv")
+    lg = MetricLogger(None, csv_path)
+    lg.scalars({"loss/train": 1.0}, step=1)
+    lg.scalars({"loss/val": 2.5}, step=1)
+    lg.scalars({"loss/train": 0.5, "loss/val": 2.0}, step=2)
+    lg.close()
+    lines = open(csv_path).read().splitlines()
+    assert lines[0] == "step,loss/train,loss/val"
+    assert lines[1] == "1,1.0,"
+    assert lines[2] == "1,,2.5"
+    assert lines[3] == "2,0.5,2.0"
+
+
+@pytest.mark.slow
 def test_train_step_multidevice(datamodule):
     """DP over the 8 virtual CPU devices (ddp_sim analog)."""
     from matcha_tpu.models import MatchaTTS
