@@ -294,11 +294,17 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
 
         # Data axis must divide the global batch; idle the extra devices
-        # for tiny debug batches rather than failing.
+        # for tiny debug batches rather than failing. Multi-host: each
+        # process contributes batch_size items, so the data axis is a
+        # per-process slice count x process_count (the DDP analog —
+        # global batch grows with hosts, like the reference's Lightning DDP).
         import math as _math
 
         n_dev = len(jax.devices())
-        n_data = max(1, _math.gcd(n_dev // n_model_axis, int(getattr(datamodule, "batch_size", n_dev))))
+        pcount = jax.process_count()
+        local_bs = int(getattr(datamodule, "batch_size", n_dev))
+        n_local = max(1, _math.gcd((n_dev // n_model_axis) // pcount, local_bs))
+        n_data = n_local * pcount
         self.mesh = make_mesh(n_data=n_data, n_model=n_model_axis,
                               devices=jax.devices()[: n_data * n_model_axis])
         self.tx = make_optimizer(lr, weight_decay, gradient_clip_val, scheduler)
@@ -525,19 +531,21 @@ class Trainer:
             if len(self._ckpt_epochs) > self.save_top_k:
                 self._ckpt_epochs.sort()
                 _, _, old = self._ckpt_epochs.pop(0)  # drop the worst-scoring
-                import shutil
+                if jax.process_index() == 0:
+                    import shutil
 
-                shutil.rmtree(old, ignore_errors=True)
-                try:
-                    os.remove(old + ".hparams.json")
-                except OSError:
-                    pass
+                    shutil.rmtree(old, ignore_errors=True)
+                    try:
+                        os.remove(old + ".hparams.json")
+                    except OSError:
+                        pass
 
     def _save(self, state: TrainState, epochs_done: int, tag: Optional[str] = None) -> str:
         """Checkpoint the FULL training state (params + optimizer moments +
-        step + completed-epoch count) so resume continues bit-identically."""
-        if jax.process_index() != 0:
-            return ""
+        step + completed-epoch count) so resume continues bit-identically.
+
+        ALL processes must enter (orbax save is a global sync point); only
+        the primary actually writes host-side metadata."""
         ckpt_dir = os.path.join(self.output_dir, "checkpoints")
         params = jax.device_get(state.params)
         opt_state = jax.device_get(state.opt_state)

@@ -400,8 +400,9 @@ def save_native_checkpoint(
         payload["extra"] = extra
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(ckpt_dir, f"{name}.hparams.json"), "w", encoding="utf-8") as f:
-        json.dump({"hparams": hparams, "step": step, "epoch": epoch}, f, indent=2, default=str)
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, f"{name}.hparams.json"), "w", encoding="utf-8") as f:
+            json.dump({"hparams": hparams, "step": step, "epoch": epoch}, f, indent=2, default=str)
     return path
 
 
