@@ -1,4 +1,4 @@
-.PHONY: help test test-full train-ljspeech train-ljspeech-min bench native clean format
+.PHONY: help test test-full train-ljspeech train-ljspeech-min bench native clean format lint
 
 help:	## Show this help
 	@grep -E '^[a-zA-Z_-]+:.*?## .*$$' $(MAKEFILE_LIST) | awk 'BEGIN {FS = ":.*?## "}; {printf "%-24s %s\n", $$1, $$2}'
@@ -23,6 +23,10 @@ bench:	## One-chip synthesis throughput benchmark
 
 format:	## Normalize whitespace (no external formatters installed)
 	@find matcha_tpu tests -name '*.py' -exec sed -i 's/[ \t]*$$//' {} +
+
+lint:	## Syntax-check + ruff if available (pre-commit config in .pre-commit-config.yaml)
+	@python -m compileall -q matcha_tpu tests && echo "compileall OK"
+	@command -v ruff >/dev/null 2>&1 && ruff check matcha_tpu tests || echo "ruff not installed; skipped" 
 
 clean:	## Remove caches and build artifacts
 	rm -rf .pytest_cache **/__pycache__ native/mas/libmas.so build dist *.egg-info

@@ -1,21 +1,33 @@
-"""Benchmark: batched text->wav synthesis throughput on one TPU chip.
+"""Benchmark: the REAL serving protocol on one TPU chip.
 
-Protocol follows the reference's measurement conventions (BASELINE.md):
-22050 Hz, hop 256, 10 Euler steps, temperature 0.667, and the reference's
-RTF formula inverted into x-realtime throughput. The full serving path
-runs: text encoder -> duration expand -> 10-step CFM U-Net (lax.scan) ->
-HiFi-GAN vocoder -> waveform, as one jit per stage at fixed bucket shapes
-(B=32, T_x=256, T_y=1024 mel frames = ~11.9 s of audio per utterance).
+Measures the BASELINE.json headline config end to end:
 
-Weights are randomly initialised (pretrained ckpts are not downloadable in
-this environment); compute cost is identical to trained weights. Durations
-are overridden to fill the mel bucket so the measured work equals the
-padded-graph work the serving path performs.
+* **Throughput**: a 128-utterance filelist with length-bucketed padding,
+  batched (B=8, sorted by length), driven through the live serving class
+  (``matcha_tpu.cli.TTSPipeline``) on its dynamic-bucket path — including
+  the per-batch host sync for the mel-bucket pick and the padding waste of
+  real (varying) utterance lengths. Accounting credits only TRUE audio
+  seconds (sum of mel_lengths x hop / sr), not padded frames.
+* **p50 / p90 single-sentence latency**: B=1 through the fused single-jit
+  text->wav graph (``--fixed-y-bucket`` serving mode), per-call result
+  fetch.
+
+Protocol follows the reference conventions (BASELINE.md): 22050 Hz,
+hop 256, 10 Euler steps, temperature 0.667. Weights are randomly
+initialised (pretrained ckpts are not downloadable in this environment);
+compute cost is identical to trained weights. Durations under random
+weights collapse to ~1 frame/token, so ``length_scale=3.5`` restores the
+realistic ~3.5 frames/token of trained models — through the exact code
+path real serving uses (the speaking-rate control). Utterance lengths are
+drawn from a spread (64-192 tokens) so batches land in DIFFERENT mel
+buckets, exercising the bucket-cache machinery the way a real filelist
+does. jit caches are warmed first (steady-state serving measurement).
 
 Prints ONE JSON line:
-  {"metric": "batched_synthesis_throughput", "value": X, "unit":
-   "x_realtime_per_chip", "vs_baseline": X / 200}
-(vs_baseline: BASELINE.json north-star target is >200x realtime/chip.)
+  {"metric": "serving_throughput_128utt_bucketed", "value": X,
+   "unit": "x_realtime_per_chip", "vs_baseline": X / 200, ...}
+(vs_baseline: BASELINE.json north-star target is >200x realtime/chip;
+extra keys report p50/p90 latency vs the <=50 ms target.)
 """
 
 import json
@@ -39,75 +51,130 @@ def _wait_for_devices(retries: int = 5, delay_s: float = 20.0):
             time.sleep(delay_s)
 
 
-def main() -> None:
-    _wait_for_devices()
+N_UTTS = 128
+BATCH = 8  # B=16 at the 1024-frame bucket exhausts the 16G HBM (vocoder MRF)
+N_STEPS = 10
+SR, HOP = 22050, 256
+LENGTH_SCALE = 3.5
+TEMPERATURE = 0.667
+
+
+def build_pipeline():
     import jax
     import jax.numpy as jnp
 
+    from matcha_tpu.cli import TTSPipeline
+    from matcha_tpu.models.denoiser import compute_bias_spec
     from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
     from matcha_tpu.models.matcha import MatchaTTS
 
-    # B=8 keeps the HiFi-GAN activation footprint (512ch x 8x upsampled
-    # frames) inside one chip's 16G HBM; throughput is reported per chip.
-    B, T_x, T_y = 8, 256, 1024
-    N_STEPS = 10
-    SR, HOP = 22050, 256
-
-    rng = np.random.default_rng(0)
     model = MatchaTTS()  # flagship LJSpeech-scale config
-    x = jnp.asarray(rng.integers(1, 178, size=(B, T_x)), jnp.int32)
-    x_lengths = jnp.full((B,), T_x, jnp.int32)
-    key = jax.random.PRNGKey(0)
     params = model.init(
-        {"params": jax.random.PRNGKey(1)}, x[:1, :32], x_lengths[:1], key,
-        n_timesteps=1, y_max_length=64, method=MatchaTTS.synthesise,
+        {"params": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32), jnp.int32), jnp.full((1,), 32, jnp.int32),
+        jax.random.PRNGKey(0), n_timesteps=1, y_max_length=64,
+        method=MatchaTTS.synthesise,
     )
-
     vocoder = Generator(HiFiGANConfig())
     voc_params = vocoder.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 80)))
+    bias = compute_bias_spec(lambda mel: vocoder.apply(voc_params, mel))
+    return TTSPipeline(model, params, vocoder, voc_params, bias)
 
-    frames_per_token = T_y // T_x
-    w_fill = jnp.full((B, T_x, 1), float(frames_per_token))
-    y_lengths = jnp.full((B,), T_y, jnp.int32)
 
-    # Fused single-jit text->wav graph (the BASELINE.json headline config):
-    # encoder + duration expand + 10-step CFM scan + HiFi-GAN in ONE
-    # executable — one dispatch per batch, no intermediate host hops.
-    @jax.jit
-    def run(key):
-        mu_x, _w, _yl = model.apply(params, x, x_lengths, method=MatchaTTS.encode)
-        out = model.apply(
-            params, mu_x, w_fill, x_lengths, y_lengths, key,
-            n_timesteps=N_STEPS, temperature=0.667, y_max_length=T_y,
-            method=MatchaTTS.decode,
-        )
-        mel_btc = jnp.swapaxes(out["mel"], 1, 2)
-        wav = vocoder.apply(voc_params, mel_btc)[..., 0]
-        return wav
+def make_corpus(rng):
+    """128 synthetic utterances with a realistic token-length spread
+    (interspersed phoneme ids, like process_text output)."""
+    lengths = rng.integers(64, 193, size=N_UTTS)
+    return [rng.integers(1, 178, size=(int(n),)).astype(np.int32) for n in lengths]
 
-    # Warmup / compile. NOTE: completion is forced by fetching a scalar
-    # from the result — block_until_ready() can return before the remote
-    # device finishes on tunnel-attached TPUs, which silently turns the
-    # benchmark into a dispatch-rate measurement.
-    wav = run(key)
-    float(wav[0, 0])
 
-    n_iters = 10
+def run_batched(pipeline, utts, key, timed: bool):
+    """One full sweep over the corpus through the real batched protocol
+    (sorted by length -> B=16 batches -> dynamic bucket pick)."""
+    import jax
+    import jax.numpy as jnp
+
+    order = sorted(range(len(utts)), key=lambda i: len(utts[i]))
+    audio_seconds = 0.0
     acc = jnp.float32(0)
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        wav = run(jax.random.fold_in(key, i))
-        acc = acc + wav[0, 0]  # chains every iteration into one dependency
-    float(acc)  # forces the whole chain
+    for bi, start in enumerate(range(0, len(order), BATCH)):
+        chunk = order[start : start + BATCH]
+        max_len = max(len(utts[i]) for i in chunk)
+        x = np.zeros((len(chunk), max_len), dtype=np.int32)
+        x_lengths = np.zeros((len(chunk),), dtype=np.int32)
+        for row, idx in enumerate(chunk):
+            x[row, : len(utts[idx])] = utts[idx]
+            x_lengths[row] = len(utts[idx])
+        out = pipeline.synthesise_batch(
+            x, x_lengths, jax.random.fold_in(key, bi),
+            n_timesteps=N_STEPS, temperature=TEMPERATURE,
+            length_scale=LENGTH_SCALE,
+        )
+        # chain completion of the waveform into one scalar dependency
+        acc = acc + out["waveform"][0, 0]
+        audio_seconds += float(np.sum(np.asarray(out["mel_lengths"]))) * HOP / SR
+    # Force the whole chain: block_until_ready() can return before the
+    # tunnel-attached device finishes — only a data fetch is honest.
+    float(acc)
     wall = time.perf_counter() - t0
+    return audio_seconds, wall
 
-    audio_seconds = n_iters * B * T_y * HOP / SR
+
+def run_latency(pipeline, key, n_calls: int = 30):
+    """B=1 single-sentence latency through the fused single-jit graph."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, 178, size=(1, 110)).astype(np.int32)
+    x_lengths = np.asarray([110], np.int32)
+
+    def call(i):
+        out = pipeline.synthesise_batch(
+            x, x_lengths, jax.random.fold_in(key, 1000 + i),
+            n_timesteps=N_STEPS, temperature=TEMPERATURE,
+            length_scale=LENGTH_SCALE, fixed_y_bucket=512,
+        )
+        return float(out["waveform"][0, 0])  # per-call fetch forces completion
+
+    call(-1)  # warm the fused (T_x=128, T_y=512) compile
+    times = []
+    for i in range(n_calls):
+        t0 = time.perf_counter()
+        call(i)
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50)), float(np.percentile(times, 90))
+
+
+def main() -> None:
+    _wait_for_devices()
+    import jax
+
+    pipeline = build_pipeline()
+    rng = np.random.default_rng(0)
+    utts = make_corpus(rng)
+    key = jax.random.PRNGKey(0)
+
+    # Warmup sweep: compiles every (x-bucket, y-bucket) pair the corpus
+    # hits, exactly as a warmed-up serving process would hold them.
+    run_batched(pipeline, utts, key, timed=False)
+
+    audio_seconds, wall = run_batched(pipeline, utts, jax.random.fold_in(key, 1), timed=True)
     throughput = audio_seconds / wall
+
+    p50, p90 = run_latency(pipeline, key)
+
     print(json.dumps({
-        "metric": "batched_synthesis_throughput",
+        "metric": "serving_throughput_128utt_bucketed",
         "value": round(float(throughput), 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(float(throughput) / 200.0, 3),
+        "audio_seconds": round(audio_seconds, 1),
+        "wall_seconds": round(wall, 3),
+        "p50_single_sentence_latency_ms": round(p50, 2),
+        "p90_single_sentence_latency_ms": round(p90, 2),
+        "latency_target_ms": 50.0,
+        "protocol": "128-utt filelist, sorted B=8, dynamic mel buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via fused --fixed-y-bucket graph",
     }))
 
 

@@ -90,6 +90,28 @@ def synthesise_mel(text, text_length, n_timesteps, mel_temp, length_scale, spk=N
     return plot_path, (22050, wav)
 
 
+# Example sentences for the cached-examples gallery (the reference app
+# pre-renders its examples at launch, app.py:236-331).
+EXAMPLE_TEXTS = [
+    "The quick brown fox jumps over the lazy dog while the band plays on.",
+    "Conditional flow matching turns noise into speech in only a handful of steps.",
+    "Tensor processing units multiply matrices faster than you can say spectrogram.",
+    "It rained all night, and by morning the harbour had vanished into fog.",
+    "Please remember to water the plants before you leave for the station.",
+]
+
+
+def synthesise_example(text: str, n_timesteps: int = 10, mel_temp: float = 0.667,
+                       length_scale: float = 0.95, spk: int = -1):
+    """One-shot phonemize+synthesise used for gradio's cached examples —
+    runs BOTH stages so each example renders once at launch and replays
+    instantly (reference app.py:236-331)."""
+    phones, x, xl = process_text_gradio(text)
+    plot_path, audio = synthesise_mel(x, xl, n_timesteps, mel_temp, length_scale,
+                                      spk if spk >= 0 else None)
+    return phones, plot_path, audio
+
+
 def main() -> None:
     try:
         import gradio as gr
@@ -120,6 +142,16 @@ def main() -> None:
 
         x_state = gr.State()
         xl_state = gr.State()
+
+        # pre-rendered example gallery (cached at launch, like the
+        # reference's cache_examples=True blocks)
+        gr.Examples(
+            examples=[[t] for t in EXAMPLE_TEXTS],
+            inputs=[text],
+            outputs=[phonemes, mel_image, audio],
+            fn=lambda t: synthesise_example(t),
+            cache_examples=True,
+        )
 
         model_type.change(load_model_ui, inputs=[model_type], outputs=[model_name, spk_slider])
         synth_btn.click(

@@ -51,7 +51,10 @@ def istft(
     if squeeze:
         magnitude, phase = magnitude[None], phase[None]
 
-    spec = magnitude * jnp.exp(1j * phase)
+    # Build the complex spectrum from real ops only: complex ELEMENTWISE
+    # arithmetic (mag * exp(1j*phase)) is UNIMPLEMENTED on some TPU
+    # runtimes, while the FFT ops themselves are fine.
+    spec = jax.lax.complex(magnitude * jnp.cos(phase), magnitude * jnp.sin(phase))
     spec = jnp.swapaxes(spec, -1, -2)  # (B, n_frames, n_freq)
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, n_frames, n_fft)
 

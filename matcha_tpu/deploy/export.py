@@ -51,7 +51,10 @@ def get_exportable_fn(model, with_vocoder=None, n_timesteps: int = 5, T_y: int =
             vocoder, voc_params = with_vocoder
             mel_btc = jnp.swapaxes(out["mel"], 1, 2)
             wav = vocoder.apply(voc_params, mel_btc)[..., 0]
-            return jnp.clip(wav, -1.0, 1.0), out["mel_lengths"] * 256
+            hop = 1
+            for u in vocoder.config.upsample_rates:
+                hop *= int(u)
+            return jnp.clip(wav, -1.0, 1.0), out["mel_lengths"] * hop
         return out["mel"], out["mel_lengths"]
 
     return fn

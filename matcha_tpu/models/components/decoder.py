@@ -79,6 +79,11 @@ class Decoder(nn.Module):
     num_heads: int = 4
     act_fn: str = "snakebeta"
     mask_mode: str = "additive_reference"
+    # block types per U-Net stage: "transformer" (default) or "conformer"
+    # (reference decoder.py:318 get_block / ConformerWrapper :161-198)
+    down_block_type: str = "transformer"
+    mid_block_type: str = "transformer"
+    up_block_type: str = "transformer"
 
     @nn.compact
     def __call__(
@@ -111,13 +116,25 @@ class Decoder(nn.Module):
             spk_tiled = jnp.broadcast_to(spks[:, None, :], (h.shape[0], h.shape[1], spks.shape[-1]))
             h = jnp.concatenate([h, spk_tiled], axis=-1)
 
-        def run_transformers(h, mask2d, prefix):
+        def run_transformers(h, mask2d, prefix, block_type="transformer"):
             for j in range(self.n_blocks):
-                h = BasicTransformerBlock(
-                    h.shape[-1], self.num_heads, self.attention_head_dim,
-                    self.dropout, self.act_fn, mask_mode=self.mask_mode,
-                    name=f"{prefix}_transformer_{j}",
-                )(h, mask2d, deterministic=deterministic)
+                if block_type == "conformer":
+                    from matcha_tpu.models.components.conformer import ConformerBlock
+
+                    h = ConformerBlock(
+                        h.shape[-1], heads=self.num_heads, dim_head=self.attention_head_dim,
+                        ff_mult=1, conv_expansion_factor=2, conv_kernel_size=31,
+                        attn_dropout=self.dropout, ff_dropout=self.dropout,
+                        conv_dropout=self.dropout, name=f"{prefix}_conformer_{j}",
+                    )(h, mask2d, deterministic=deterministic)
+                elif block_type == "transformer":
+                    h = BasicTransformerBlock(
+                        h.shape[-1], self.num_heads, self.attention_head_dim,
+                        self.dropout, self.act_fn, mask_mode=self.mask_mode,
+                        name=f"{prefix}_transformer_{j}",
+                    )(h, mask2d, deterministic=deterministic)
+                else:
+                    raise ValueError(f"Unknown block type {block_type!r}")
             return h
 
         hiddens = []
@@ -125,7 +142,7 @@ class Decoder(nn.Module):
         for i, ch in enumerate(channels):
             mask_down = masks[-1]
             h = ResnetBlock1D(ch, name=f"down_{i}_resnet")(h, mask_down, temb)
-            h = run_transformers(h, mask_down[:, :, 0], f"down_{i}")
+            h = run_transformers(h, mask_down[:, :, 0], f"down_{i}", self.down_block_type)
             hiddens.append(h)
             is_last = i == len(channels) - 1
             if not is_last:
@@ -138,7 +155,7 @@ class Decoder(nn.Module):
         mask_mid = masks[-1]
         for i in range(self.num_mid_blocks):
             h = ResnetBlock1D(channels[-1], name=f"mid_{i}_resnet")(h, mask_mid, temb)
-            h = run_transformers(h, mask_mid[:, :, 0], f"mid_{i}")
+            h = run_transformers(h, mask_mid[:, :, 0], f"mid_{i}", self.mid_block_type)
 
         up_channels = channels[::-1] + (channels[0],)
         for i in range(len(up_channels) - 1):
@@ -148,7 +165,7 @@ class Decoder(nn.Module):
             h = ResnetBlock1D(ch, name=f"up_{i}_resnet")(
                 jnp.concatenate([h, skip], axis=-1), mask_up, temb
             )
-            h = run_transformers(h, mask_up[:, :, 0], f"up_{i}")
+            h = run_transformers(h, mask_up[:, :, 0], f"up_{i}", self.up_block_type)
             is_last = i == len(up_channels) - 2
             if not is_last:
                 h = Upsample1D(ch, name=f"up_{i}_upsample")(h * mask_up)

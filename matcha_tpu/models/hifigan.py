@@ -152,22 +152,69 @@ class Generator(nn.Module):
 
 
 class Conv2dNCHW(nn.Module):
-    """2-D conv over (B, H, W, C) matching torch Conv2d semantics."""
+    """2-D conv over (B, H, W, C) matching torch Conv2d semantics.
+
+    ``weight_norm=True`` uses the torch weight_norm(dim=0) (g, v)
+    parameterisation — the reference's MPD convs train weight-normed
+    (models.py:251-262)."""
 
     features: int
     kernel_size: Tuple[int, int]
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(
-            self.features,
-            kernel_size=self.kernel_size,
-            strides=self.stride,
+        if not self.weight_norm:
+            return nn.Conv(
+                self.features,
+                kernel_size=self.kernel_size,
+                strides=self.stride,
+                padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+                name="conv",
+            )(x)
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        v = self.param("weight_v", nn.initializers.lecun_normal(), (kh, kw, in_ch, self.features))
+        g = self.param("weight_g", nn.initializers.ones, (self.features,))
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1, 2), keepdims=True))
+        w = g * v / norm
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=self.stride,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
-            name="conv",
-        )(x)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
+class WNGroupedConv1d(nn.Module):
+    """Grouped 1-D conv with torch weight_norm(dim=0) parameterisation
+    (the reference's non-spectral MSD convs, models.py:311-324)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_per_group = x.shape[-1] // self.groups
+        v = self.param(
+            "weight_v", nn.initializers.lecun_normal(),
+            (self.kernel_size, in_per_group, self.features),
+        )
+        g = self.param("weight_g", nn.initializers.ones, (self.features,))
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True))
+        w = g * v / norm
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(self.stride,), padding=[(self.padding, self.padding)],
+            feature_group_count=self.groups, dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return y + bias
 
 
 class DiscriminatorP(nn.Module):
@@ -176,6 +223,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -192,14 +240,15 @@ class DiscriminatorP(nn.Module):
         for i, ch in enumerate(channels):
             x = Conv2dNCHW(
                 ch, (self.kernel_size, 1), (self.stride, 1),
-                (get_padding(5, 1), 0), name=f"convs_{i}",
+                (get_padding(5, 1), 0), weight_norm=self.weight_norm, name=f"convs_{i}",
             )(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv2dNCHW(1024, (self.kernel_size, 1), (1, 1), (2, 0), name="convs_4")(x)
+        x = Conv2dNCHW(1024, (self.kernel_size, 1), (1, 1), (2, 0),
+                       weight_norm=self.weight_norm, name="convs_4")(x)
         x = leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = Conv2dNCHW(1, (3, 1), (1, 1), (1, 0), name="conv_post")(x)
+        x = Conv2dNCHW(1, (3, 1), (1, 1), (1, 0), weight_norm=self.weight_norm, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(B, -1), fmap
 
@@ -222,13 +271,22 @@ def _spectral_normalize(kernel: jnp.ndarray, n_iters: int = 7) -> jnp.ndarray:
 
 
 class SNConv1d(nn.Module):
-    """Spectral-normalised 1-D conv (grouped)."""
+    """Spectral-normalised 1-D conv (grouped).
+
+    ``running_u=False`` (default): stateless 7-iteration power method from
+    a fixed start — exact enough for inference/conversion.
+    ``running_u=True``: torch-parity training mode — a persistent ``u``
+    vector in the ``"spectral"`` variable collection, ONE power iteration
+    per forward, updated when the collection is mutable (the analog of
+    torch spectral_norm's buffer update under no_grad,
+    reference models.py:311)."""
 
     features: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
     groups: int = 1
+    running_u: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -238,7 +296,26 @@ class SNConv1d(nn.Module):
             (self.kernel_size, in_per_group, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        w = _spectral_normalize(kernel)
+        if self.running_u:
+            out_dim = kernel.shape[-1]
+            u_var = self.variable(
+                "spectral", "u",
+                lambda: jnp.full((out_dim,), 1.0 / jnp.sqrt(out_dim), dtype=kernel.dtype),
+            )
+            wmat = jax.lax.stop_gradient(kernel).reshape(-1, out_dim)  # (rest, out)
+            u = u_var.value
+            v = wmat @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u = wmat.T @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+            if not self.is_initializing() and self.is_mutable_collection("spectral"):
+                u_var.value = u
+            # sigma keeps the gradient path through the kernel (u, v are
+            # detached buffers, like torch)
+            sigma = v @ (kernel.reshape(-1, out_dim) @ u)
+            w = kernel / (sigma + 1e-12)
+        else:
+            w = _spectral_normalize(kernel)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(self.stride,), padding=[(self.padding, self.padding)],
             feature_group_count=self.groups, dimension_numbers=("NHC", "HIO", "NHC"),
@@ -250,9 +327,12 @@ class DiscriminatorS(nn.Module):
     """Scale discriminator: grouped 1-D convs on the raw waveform.
 
     The reference's first MSD discriminator is spectral-normalised
-    (models.py:311); the rest use weight norm (folded here)."""
+    (models.py:311); the rest use weight norm (models.py:311-324 —
+    ``weight_norm=True`` for training, folded/plain for inference)."""
 
     use_spectral_norm: bool = False
+    weight_norm: bool = False
+    running_u: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -268,7 +348,9 @@ class DiscriminatorS(nn.Module):
         ]
         for i, (ch, k, s, p, g) in enumerate(specs):
             if self.use_spectral_norm:
-                x = SNConv1d(ch, k, s, p, g, name=f"convs_{i}")(x)
+                x = SNConv1d(ch, k, s, p, g, running_u=self.running_u, name=f"convs_{i}")(x)
+            elif self.weight_norm:
+                x = WNGroupedConv1d(ch, k, s, p, g, name=f"convs_{i}")(x)
             else:
                 x = nn.Conv(
                     ch, (k,), strides=(s,), padding=[(p, p)], feature_group_count=g,
@@ -277,7 +359,9 @@ class DiscriminatorS(nn.Module):
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         if self.use_spectral_norm:
-            x = SNConv1d(1, 3, 1, 1, name="conv_post")(x)
+            x = SNConv1d(1, 3, 1, 1, running_u=self.running_u, name="conv_post")(x)
+        elif self.weight_norm:
+            x = WNGroupedConv1d(1, 3, 1, 1, name="conv_post")(x)
         else:
             x = nn.Conv(1, (3,), padding=[(1, 1)], name="conv_post")(x)
         fmap.append(x)
@@ -294,12 +378,13 @@ def avg_pool1d(x: jnp.ndarray, window: int = 4, stride: int = 2, padding: int = 
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.periods):
-            d = DiscriminatorP(p, name=f"discriminators_{i}")
+            d = DiscriminatorP(p, weight_norm=self.weight_norm, name=f"discriminators_{i}")
             y_d_r, fmap_r = d(y)
             y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)
@@ -310,6 +395,9 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    weight_norm: bool = False
+    running_u: bool = False
+
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
@@ -317,7 +405,8 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = avg_pool1d(y)
                 y_hat = avg_pool1d(y_hat)
-            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"discriminators_{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0), weight_norm=self.weight_norm,
+                               running_u=self.running_u, name=f"discriminators_{i}")
             y_d_r, fmap_r = d(y)
             y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)

@@ -52,6 +52,10 @@ class MatchaTTS(nn.Module):
     dec_num_mid_blocks: int = 2
     dec_num_heads: int = 2
     dec_act_fn: str = "snakebeta"
+    # "transformer" | "conformer" per U-Net stage (reference decoder.py:318)
+    dec_down_block_type: str = "transformer"
+    dec_mid_block_type: str = "transformer"
+    dec_up_block_type: str = "transformer"
     # "additive_reference" keeps the reference/diffusers 0/1-additive mask
     # quirk (needed for converted checkpoints); "proper" masks padded keys.
     dec_mask_mode: str = "additive_reference"
@@ -97,6 +101,9 @@ class MatchaTTS(nn.Module):
             num_heads=self.dec_num_heads,
             act_fn=self.dec_act_fn,
             mask_mode=self.dec_mask_mode,
+            down_block_type=self.dec_down_block_type,
+            mid_block_type=self.dec_mid_block_type,
+            up_block_type=self.dec_up_block_type,
         )
         if self.n_spks > 1:
             self.spk_emb = nn.Embed(self.n_spks, self.spk_emb_dim)
@@ -255,14 +262,19 @@ class MatchaTTS(nn.Module):
         spks: Optional[jnp.ndarray] = None,
         out_size: Optional[int] = None,
         mas_impl: Optional[str] = None,
+        durations: Optional[jnp.ndarray] = None,
     ):
-        """Compute (dur_loss, prior_loss, diff_loss) + the MAS alignment.
+        """Compute (dur_loss, prior_loss, diff_loss) + the alignment.
 
         Args:
             x: (B, T_x) phoneme ids; x_lengths: (B,).
             y: (B, T_y, n_feats) normalized mel target; y_lengths: (B,).
             key: PRNG key (CFM t/z draws + segment offsets).
             out_size: static segment length (multiple of 4) or None.
+            durations: optional (B, T_x) precomputed per-phoneme frame
+                counts (datamodule ``load_durations``). When given, the
+                alignment comes from ``generate_path`` on them and the MAS
+                search (and its log-prior grid) is skipped entirely.
         """
         spk_emb = self._speaker(spks)
         T_x, T_y = x.shape[1], y.shape[1]
@@ -271,18 +283,22 @@ class MatchaTTS(nn.Module):
 
         mu_x, logw = self.encoder(x, x_mask, spk_emb, deterministic=not self.has_rng("dropout"))
 
-        # Gaussian log-prior grid and MAS (no gradients flow through,
-        # reference matcha_tts.py:183-192).
         attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, :, 0][:, None, :]  # (B, Tx, Ty)
-        mu_sg = jax.lax.stop_gradient(mu_x)
-        const = -0.5 * LOG_2PI * self.n_feats
-        log_prior = (
-            jnp.einsum("bxf,byf->bxy", mu_sg, y)
-            - 0.5 * jnp.sum(y**2, axis=-1)[:, None, :]
-            - 0.5 * jnp.sum(mu_sg**2, axis=-1)[:, :, None]
-            + const
-        )
-        attn = maximum_path(log_prior, attn_mask, impl=mas_impl)  # (B, Tx, Ty)
+        if durations is not None:
+            # Supervised alignment from precomputed durations.
+            attn = generate_path(durations.astype(jnp.float32) * x_mask[:, :, 0], attn_mask)
+        else:
+            # Gaussian log-prior grid and MAS (no gradients flow through,
+            # reference matcha_tts.py:183-192).
+            mu_sg = jax.lax.stop_gradient(mu_x)
+            const = -0.5 * LOG_2PI * self.n_feats
+            log_prior = (
+                jnp.einsum("bxf,byf->bxy", mu_sg, y)
+                - 0.5 * jnp.sum(y**2, axis=-1)[:, None, :]
+                - 0.5 * jnp.sum(mu_sg**2, axis=-1)[:, :, None]
+                + const
+            )
+            attn = maximum_path(log_prior, attn_mask, impl=mas_impl)  # (B, Tx, Ty)
 
         logw_ = jnp.log(1e-8 + jnp.sum(attn, axis=-1))[..., None] * x_mask
         dur_loss = duration_loss(logw, logw_, x_lengths)

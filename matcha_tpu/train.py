@@ -47,6 +47,9 @@ def build_model_from_cfg(cfg):
         dec_num_mid_blocks=int(dec.num_mid_blocks),
         dec_num_heads=int(dec.num_heads),
         dec_act_fn=str(dec.act_fn),
+        dec_down_block_type=str(dec.get("down_block_type", "transformer")),
+        dec_mid_block_type=str(dec.get("mid_block_type", "transformer")),
+        dec_up_block_type=str(dec.get("up_block_type", "transformer")),
         sigma_min=float(m.cfm.sigma_min),
         prior_loss=bool(m.prior_loss),
         mel_mean=float(stats.get("mel_mean", 0.0)),
@@ -104,6 +107,9 @@ def train(cfg) -> Tuple[dict, dict]:
         profiler=t.get("profiler"),
         save_every_n_epochs=int(cb.get("every_n_epochs", 100)),
         save_top_k=int(cb.get("save_top_k", 10)),
+        monitor=str(cb.get("monitor", "epoch")),
+        monitor_mode=str(cb.get("mode", "max")),
+        precision=str(t.get("precision", "f32")),
         hparams={"cfg": dict(cfg)},
         scheduler=cfg.model.get("scheduler"),
         loggers=cfg.get("logger", {"tensorboard": {}}),

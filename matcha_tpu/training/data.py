@@ -66,8 +66,11 @@ class TextMelDataset:
         seed: Optional[int] = None,
         phoneme_cache: bool = True,
         mel_cache_dir: Optional[str] = None,
+        load_durations: bool = False,
     ):
         self.filepaths_and_text = parse_filelist(filelist_path)
+        # precomputed per-phoneme durations at <wav_dir>/durations/<stem>.npy
+        self.load_durations = load_durations
         self.n_spks = n_spks
         self.cleaners = list(cleaners)
         self.add_blank = add_blank
@@ -126,8 +129,23 @@ class TextMelDataset:
         else:
             filepath, text = entry[0], entry[1]
             spk = 0
-        return {"x": self.get_text(text), "y": self.get_mel(filepath), "spk": spk,
+        item = {"x": self.get_text(text), "y": self.get_mel(filepath), "spk": spk,
                 "filepath": filepath, "text": text}
+        if self.load_durations:
+            item["durations"] = self.get_durations(filepath, item["x"])
+        return item
+
+    def get_durations(self, filepath: str, x: np.ndarray) -> np.ndarray:
+        """Load precomputed per-phoneme frame counts for supervised
+        alignment training (skips MAS): <wav_dir>/durations/<stem>.npy."""
+        stem = os.path.splitext(os.path.basename(filepath))[0]
+        dur_path = os.path.join(os.path.dirname(filepath), "durations", f"{stem}.npy")
+        durs = np.load(dur_path).astype(np.float32).reshape(-1)
+        assert durs.shape[0] == x.shape[-1], (
+            f"{dur_path}: {durs.shape[0]} durations != {x.shape[-1]} phoneme ids "
+            "(durations must be computed on the interspersed id sequence)"
+        )
+        return durs
 
 
 def collate_batch(items: List[dict], n_feats: int, n_spks: int, bucket: bool = True) -> Dict[str, np.ndarray]:
@@ -154,6 +172,11 @@ def collate_batch(items: List[dict], n_feats: int, n_spks: int, bucket: bool = T
         spks[i] = it["spk"]
     batch = {"x": x, "x_lengths": x_lengths, "y": y, "y_lengths": y_lengths}
     batch["spks"] = spks if n_spks > 1 else None
+    if "durations" in items[0]:
+        durations = np.zeros((B, x_max), dtype=np.float32)
+        for i, it in enumerate(items):
+            durations[i, : it["durations"].shape[0]] = it["durations"]
+        batch["durations"] = durations
     return batch
 
 
@@ -185,7 +208,6 @@ class TextMelDataModule:
         mel_cache_dir: Optional[str] = None,
         **_unused,
     ):
-        del load_durations  # parity knob; duration supervision not used
         self.name = name
         self.batch_size = batch_size
         self.n_feats = n_feats
@@ -197,6 +219,7 @@ class TextMelDataModule:
             win_length=win_length, f_min=f_min, f_max=f_max,
             data_statistics=data_statistics, seed=seed,
             phoneme_cache=phoneme_cache, mel_cache_dir=mel_cache_dir,
+            load_durations=load_durations,
         )
         self._train_args = (train_filelist_path, common)
         self._valid_args = (valid_filelist_path, common)

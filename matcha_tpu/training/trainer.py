@@ -95,17 +95,39 @@ def make_optimizer(
     return optax.chain(*chain)
 
 
-def make_train_step(model: MatchaTTS, tx, out_size: Optional[int] = None):
-    """Build the jitted SPMD training step."""
+def _cast_floats(tree, dtype):
+    """Cast float leaves of a pytree to dtype (ints/None untouched)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree,
+    )
+
+
+def make_train_step(model: MatchaTTS, tx, out_size: Optional[int] = None,
+                    precision: str = "f32"):
+    """Build the jitted SPMD training step.
+
+    ``precision="bf16-mixed"`` is the TPU-idiomatic analog of the
+    reference's ``precision: 16-mixed`` (configs/trainer/default.yaml):
+    master params + Adam moments + gradients stay f32; the forward/backward
+    compute runs on bf16 copies of params and float batch inputs. bf16
+    needs no loss scaling (same exponent range as f32)."""
+    bf16 = precision in ("bf16", "bf16-mixed", "16-mixed")
 
     def loss_fn(params, batch, key, dropout_key):
+        if bf16:
+            params = _cast_floats(params, jnp.bfloat16)
+            batch = {k: (_cast_floats(v, jnp.bfloat16) if k == "y" else v)
+                     for k, v in batch.items()}
         dur, prior, diff, _ = model.apply(
             params,
             batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
             key, batch.get("spks"), out_size,
+            durations=batch.get("durations"),
             rngs={"dropout": dropout_key},
             method=MatchaTTS.losses,
         )
+        dur, prior, diff = (jnp.asarray(v, jnp.float32) for v in (dur, prior, diff))
         total = dur + prior + diff
         metrics = {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff, "loss": total}
         return total, metrics
@@ -132,6 +154,7 @@ def make_eval_step(model: MatchaTTS, out_size: Optional[int] = None):
             params,
             batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"],
             key, batch.get("spks"), out_size,
+            durations=batch.get("durations"),
             method=MatchaTTS.losses,
         )
         return {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff,
@@ -141,13 +164,18 @@ def make_eval_step(model: MatchaTTS, out_size: Optional[int] = None):
 
 
 class MetricLogger:
-    """Metric backends: tensorboardX (default) and/or CSV, selected like
-    the reference's configs/logger group; no-op off process 0."""
+    """Metric backends selected like the reference's configs/logger group
+    (8 backends, /root/reference/configs/logger/*.yaml): tensorboard and
+    CSV natively, plus wandb / mlflow / neptune / comet / aim adapters
+    that activate when the client library is installed and degrade to a
+    warning when it is not. No-op off process 0."""
 
-    def __init__(self, logdir: Optional[str], csv_path: Optional[str] = None):
+    def __init__(self, logdir: Optional[str], csv_path: Optional[str] = None,
+                 backends: Optional[Dict[str, dict]] = None):
         self.writer = None
         self._csv = None
         self._csv_fields = None
+        self._external: list = []  # (name, log_scalars_fn, close_fn)
         if jax.process_index() != 0:
             return
         if logdir:
@@ -162,11 +190,64 @@ class MetricLogger:
             os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
             self._csv_path = csv_path
             self._csv = open(csv_path, "a", encoding="utf-8", buffering=1)
+        for name, cfg in (backends or {}).items():
+            try:
+                self._external.append(self._make_backend(name, dict(cfg or {})))
+            except ImportError:
+                log.warning(f"logger backend {name!r} requested but its client "
+                            f"library is not installed; skipping")
+            except Exception as e:  # pragma: no cover - backend-side failures
+                log.warning(f"logger backend {name!r} failed to initialize: {e}")
+
+    @staticmethod
+    def _make_backend(name: str, cfg: dict):
+        """Build one external backend -> (name, log_fn(metrics, step), close_fn).
+
+        Mirrors the reference's config-selected Lightning loggers
+        (configs/logger/{wandb,mlflow,neptune,comet,aim}.yaml)."""
+        if name == "wandb":
+            import wandb
+
+            run = wandb.init(project=cfg.get("project", "matcha-tpu"),
+                             name=cfg.get("name"), group=cfg.get("group") or None,
+                             tags=cfg.get("tags") or None, reinit=True)
+            return (name, lambda m, s: run.log(m, step=s), run.finish)
+        if name == "mlflow":
+            import mlflow
+
+            if cfg.get("tracking_uri"):
+                mlflow.set_tracking_uri(cfg["tracking_uri"])
+            mlflow.start_run(run_name=cfg.get("run_name"))
+            return (name,
+                    lambda m, s: mlflow.log_metrics({k.replace("/", "_"): v for k, v in m.items()}, step=s),
+                    mlflow.end_run)
+        if name == "neptune":
+            import neptune
+
+            run = neptune.init_run(project=cfg.get("project"))
+            return (name,
+                    lambda m, s: [run[k].append(v, step=s) for k, v in m.items()],
+                    run.stop)
+        if name == "comet":
+            import comet_ml
+
+            exp = comet_ml.Experiment(project_name=cfg.get("project_name", "matcha-tpu"))
+            return (name, lambda m, s: exp.log_metrics(m, step=s), exp.end)
+        if name == "aim":
+            import aim
+
+            run = aim.Run(experiment=cfg.get("experiment", "matcha-tpu"))
+            return (name,
+                    lambda m, s: [run.track(v, name=k, step=s) for k, v in m.items()],
+                    lambda: run.close())
+        raise ImportError(f"unknown logger backend {name!r}")
 
     def scalars(self, metrics: Dict[str, float], step: int) -> None:
         if self.writer:
             for k, v in metrics.items():
                 self.writer.add_scalar(k, float(v), step)
+        for _, log_fn, _ in self._external:
+            log_fn({k: float(v) for k, v in metrics.items()}, step)
         if self._csv:
             new_fields = [k for k in sorted(metrics) if self._csv_fields is None or k not in self._csv_fields]
             if self._csv_fields is None:
@@ -203,6 +284,11 @@ class MetricLogger:
             self.writer.close()
         if self._csv:
             self._csv.close()
+        for name, _, close_fn in self._external:
+            try:
+                close_fn()
+            except Exception:  # pragma: no cover
+                log.warning(f"logger backend {name!r} failed to close")
 
 
 def prefetch_iterator(iterator, depth: int = 2):
@@ -259,6 +345,7 @@ class Trainer:
         save_top_k: int = 10,
         monitor: str = "epoch",
         monitor_mode: str = "max",
+        precision: str = "f32",
         log_validation_images: bool = True,
         hparams: Optional[dict] = None,
         scheduler: Optional[dict] = None,
@@ -308,12 +395,13 @@ class Trainer:
         self.mesh = make_mesh(n_data=n_data, n_model=n_model_axis,
                               devices=jax.devices()[: n_data * n_model_axis])
         self.tx = make_optimizer(lr, weight_decay, gradient_clip_val, scheduler)
-        self.train_step = make_train_step(model, self.tx, out_size)
+        self.train_step = make_train_step(model, self.tx, out_size, precision=precision)
         self.eval_step = make_eval_step(model, out_size)
         loggers = loggers if loggers is not None else {"tensorboard": {}}
         tb_dir = os.path.join(output_dir, "tensorboard") if "tensorboard" in loggers else None
         csv_path = os.path.join(output_dir, "csv", "metrics.csv") if "csv" in loggers else None
-        self.logger = MetricLogger(tb_dir, csv_path)
+        external = {k: v for k, v in loggers.items() if k not in ("tensorboard", "csv")}
+        self.logger = MetricLogger(tb_dir, csv_path, backends=external)
         self._ckpt_epochs: list = []
 
     # ------------------------------------------------------------------

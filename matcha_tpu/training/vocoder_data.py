@@ -65,17 +65,44 @@ class MelDataset:
         audio, sr = read_wav(path)
         assert sr == self.sampling_rate
 
-        if self.split:
-            if audio.shape[0] >= self.segment_size:
-                start = self._rng.randint(0, audio.shape[0] - self.segment_size)
-                audio = audio[start : start + self.segment_size]
-            else:
-                audio = np.pad(audio, (0, self.segment_size - audio.shape[0]))
+        if self.fine_tuning:
+            # Fine-tune on PRECOMPUTED (synthesized) mels: the conditioning
+            # mel comes from base_mels_path/<stem>.npy while the target
+            # audio (and mel_loss) stay ground-truth — the reference's
+            # fine-tuning branch (matcha/hifigan/meldataset.py:184-201).
+            import os
 
-        mel = mel_spectrogram_np(
-            audio, self.n_fft, self.num_mels, self.sampling_rate,
-            self.hop_size, self.win_size, self.fmin, self.fmax,
-        )
+            stem = os.path.splitext(os.path.basename(path))[0]
+            mel = np.load(os.path.join(self.base_mels_path, stem + ".npy"))
+            if mel.ndim == 3:
+                mel = mel[0]
+            if self.split:
+                frames_per_seg = -(-self.segment_size // self.hop_size)
+                # start range clamped by BOTH the mel and the audio (a
+                # synthesized mel can be a few frames longer than the wav)
+                max_start = min(mel.shape[1] - frames_per_seg - 1,
+                                audio.shape[0] // self.hop_size - frames_per_seg)
+                if audio.shape[0] >= self.segment_size and max_start > 0:
+                    mel_start = self._rng.randint(0, max_start)
+                    mel = mel[:, mel_start : mel_start + frames_per_seg]
+                    audio = audio[mel_start * self.hop_size : (mel_start + frames_per_seg) * self.hop_size]
+                else:
+                    mel = np.pad(mel, ((0, 0), (0, max(0, frames_per_seg - mel.shape[1]))))
+                    audio = np.pad(audio, (0, max(0, self.segment_size - audio.shape[0])))
+                    mel = mel[:, :frames_per_seg]
+                    audio = audio[: self.segment_size]
+        else:
+            if self.split:
+                if audio.shape[0] >= self.segment_size:
+                    start = self._rng.randint(0, audio.shape[0] - self.segment_size)
+                    audio = audio[start : start + self.segment_size]
+                else:
+                    audio = np.pad(audio, (0, self.segment_size - audio.shape[0]))
+            mel = mel_spectrogram_np(
+                audio, self.n_fft, self.num_mels, self.sampling_rate,
+                self.hop_size, self.win_size, self.fmin, self.fmax,
+            )
+
         mel_loss = mel_spectrogram_np(
             audio, self.n_fft, self.num_mels, self.sampling_rate,
             self.hop_size, self.win_size, self.fmin, self.fmax_loss,

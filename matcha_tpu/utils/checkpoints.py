@@ -274,6 +274,9 @@ def load_torch_matcha_checkpoint(path: str) -> Tuple[dict, dict]:
             dec_num_mid_blocks=int(_get(dec, "num_mid_blocks", 2)),
             dec_num_heads=int(_get(dec, "num_heads", 2)),
             dec_act_fn=str(_get(dec, "act_fn", "snakebeta")),
+            dec_down_block_type=str(_get(dec, "down_block_type", "transformer")),
+            dec_mid_block_type=str(_get(dec, "mid_block_type", "transformer")),
+            dec_up_block_type=str(_get(dec, "up_block_type", "transformer")),
         )
     if cfm is not None:
         kwargs.update(sigma_min=float(_get(cfm, "sigma_min", 1e-4)))

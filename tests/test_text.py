@@ -62,3 +62,29 @@ def test_number_normalization():
 def test_intersperse():
     assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
     assert intersperse([], 0) == [0]
+
+
+def test_phonemize_filelist_tool(tmp_path):
+    """matcha-phonemize: one-time cleaning pass; training then uses
+    cleaners=[] on the pre-cleaned filelist and yields identical ids."""
+    from matcha_tpu.text import text_to_sequence
+    from matcha_tpu.text.phonemize import phonemize_filelist
+
+    src = tmp_path / "fl.txt"
+    src.write_text("a.wav|Dr. Smith has 2 cats.\nb.wav|hello world\n", encoding="utf-8")
+    out = tmp_path / "fl_ph.txt"
+    n = phonemize_filelist(str(src), str(out), cleaner="english_cleaners_no_espeak")
+    assert n == 2
+    lines = out.read_text(encoding="utf-8").splitlines()
+    assert lines[0].startswith("a.wav|")
+    cleaned = lines[0].split("|", 1)[1]
+    # ids from the pre-cleaned text with NO cleaner == ids from the raw
+    # text with the cleaner
+    assert text_to_sequence(cleaned, []) == text_to_sequence("Dr. Smith has 2 cats.", ["english_cleaners_no_espeak"])
+
+    # multi-speaker format preserved
+    src2 = tmp_path / "fl2.txt"
+    src2.write_text("a.wav|3|hello\n", encoding="utf-8")
+    out2 = tmp_path / "fl2_ph.txt"
+    phonemize_filelist(str(src2), str(out2), cleaner="english_cleaners_no_espeak", n_spks=2)
+    assert out2.read_text(encoding="utf-8").split("|")[1] == "3"

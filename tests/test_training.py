@@ -166,6 +166,70 @@ def test_full_state_resume_bit_identical(tmp_path, datamodule):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_durations_supervised_alignment(corpus):
+    """datamodule load_durations: precomputed per-phoneme durations from
+    <wav_dir>/durations/<stem>.npy flow into the batch and replace MAS in
+    the loss path."""
+    import jax.numpy as jnp
+
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.data import TextMelDataModule
+
+    dm_probe = TextMelDataModule(
+        name="probe", train_filelist_path=corpus["train"],
+        valid_filelist_path=corpus["val"], batch_size=2,
+        cleaners=["english_cleaners_no_espeak"], n_spks=1, n_feats=16,
+        f_max=4000, data_statistics={"mel_mean": -5.5, "mel_std": 2.1}, seed=1,
+    )
+    dm_probe.setup()
+    # write durations that sum exactly to each utterance's mel length
+    dur_dir = os.path.join(corpus["root"], "durations")
+    os.makedirs(dur_dir, exist_ok=True)
+    for entry in dm_probe.trainset.filepaths_and_text:
+        path, text = entry[0], entry[1]
+        item_x = dm_probe.trainset.get_text(text)
+        n_frames = dm_probe.trainset.get_mel(path).shape[-1]
+        n_ph = item_x.shape[-1]
+        durs = np.full((n_ph,), n_frames // n_ph, np.float32)
+        durs[-1] += n_frames - durs.sum()
+        stem = os.path.splitext(os.path.basename(path))[0]
+        np.save(os.path.join(dur_dir, f"{stem}.npy"), durs)
+
+    dm = TextMelDataModule(
+        name="durs", train_filelist_path=corpus["train"],
+        valid_filelist_path=corpus["val"], batch_size=2,
+        cleaners=["english_cleaners_no_espeak"], n_spks=1, n_feats=16,
+        f_max=4000, data_statistics={"mel_mean": -5.5, "mel_std": 2.1}, seed=1,
+        load_durations=True,
+    )
+    b = next(iter(dm.train_batches(0)))
+    assert "durations" in b and b["durations"].shape == b["x"].shape
+    assert np.allclose(b["durations"].sum(axis=1), b["y_lengths"])
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=16, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(16, 16), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16, enc_prenet=False,
+    )
+    model = MatchaTTS(**tiny)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(b["x"]), jnp.asarray(b["x_lengths"]),
+        jnp.asarray(b["y"]), jnp.asarray(b["y_lengths"]), jax.random.PRNGKey(1),
+    )
+    dur, prior, diff, attn = model.apply(
+        params, jnp.asarray(b["x"]), jnp.asarray(b["x_lengths"]),
+        jnp.asarray(b["y"]), jnp.asarray(b["y_lengths"]), jax.random.PRNGKey(2),
+        durations=jnp.asarray(b["durations"]), method=MatchaTTS.losses,
+    )
+    for v in (dur, prior, diff):
+        assert np.isfinite(float(v))
+    # the alignment is exactly the supplied durations, not a MAS search
+    np.testing.assert_allclose(np.asarray(attn).sum(axis=2)[0, : b["x_lengths"][0]],
+                               b["durations"][0, : b["x_lengths"][0]])
+
+
 def test_csv_logger_val_columns(tmp_path):
     """Validation metrics appearing after training metrics widen the CSV
     header instead of being dropped (round-1 weak #3)."""
@@ -221,3 +285,48 @@ def test_train_step_multidevice(datamodule):
     state, metrics = step_fn(state, dev_batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+@pytest.mark.slow
+def test_bf16_mixed_precision_step(datamodule):
+    """bf16-mixed policy: master params/opt-state stay f32, the step runs,
+    losses are finite and close to the f32 step on the same state."""
+    import jax.numpy as jnp
+
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.trainer import TrainState, make_optimizer, make_train_step
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=16, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(16, 16), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16, enc_prenet=False,
+    )
+    model = MatchaTTS(**tiny)
+    b = next(iter(datamodule.train_batches(0)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(b["x"]), jnp.asarray(b["x_lengths"]),
+        jnp.asarray(b["y"]), jnp.asarray(b["y_lengths"]), jax.random.PRNGKey(1),
+    )
+    tx = make_optimizer(1e-4)
+    state = TrainState(step=jnp.asarray(0), params=params, opt_state=tx.init(params))
+
+    f32_step = make_train_step(model, tx, precision="f32")
+    bf16_step = make_train_step(model, tx, precision="bf16-mixed")
+    key = jax.random.PRNGKey(2)
+    # the train step donates its state; give each step its own copy
+    params2 = jax.tree.map(lambda a: a.copy(), params)
+    state2 = TrainState(step=jnp.asarray(0), params=params2, opt_state=tx.init(params2))
+    _, m32 = f32_step(state, dict(b), key)
+    new_state, m16 = bf16_step(state2, dict(b), key)
+
+    assert np.isfinite(float(m16["loss"]))
+    # master params stayed f32 after the bf16 step
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(new_state.params))
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree.leaves(new_state.opt_state)
+        if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+    )
+    # bf16 loss within ~2% of the f32 loss
+    assert abs(float(m16["loss"]) - float(m32["loss"])) / float(m32["loss"]) < 0.02
