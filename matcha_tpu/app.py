@@ -122,6 +122,9 @@ def main() -> None:
             "gradio to serve the UI, or use the matcha-tts CLI."
         ) from e
 
+    from matcha_tpu.utils.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     load_model("matcha_ljspeech", "hifigan_T2_v1")
 
     with gr.Blocks(title="🍵 Matcha-TTS (TPU)") as demo:

@@ -12,6 +12,22 @@ import numpy as np
 from matcha_tpu.audio.mel import _frame_indices, hann_window_periodic
 
 
+def _frame_slices(audio: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """Sliding frames via pure reshape+slice (requires hop | n_fft).
+
+    Gather-free: TPU gathers over big index tables are slow; when the
+    overlap factor R = n_fft/hop is an integer, frame f is the
+    concatenation of R consecutive hop-size blocks starting at block f.
+    Returns (..., n_frames, n_fft).
+    """
+    R = n_fft // hop_length
+    L = audio.shape[-1]
+    n_frames = 1 + (L - n_fft) // hop_length
+    used = hop_length * (n_frames - 1 + R)
+    blocks = audio[..., :used].reshape(*audio.shape[:-1], n_frames - 1 + R, hop_length)
+    return jnp.concatenate([blocks[..., c : c + n_frames, :] for c in range(R)], axis=-1)
+
+
 def stft_magnitude_phase(
     audio: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256, win_length: int = 1024
 ):
@@ -20,8 +36,11 @@ def stft_magnitude_phase(
     pad_widths = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
     audio = jnp.pad(audio, pad_widths, mode="reflect")
 
-    idx = _frame_indices(audio.shape[-1], n_fft, hop_length)
-    frames = audio[..., idx]
+    if n_fft % hop_length == 0:
+        frames = _frame_slices(audio, n_fft, hop_length)
+    else:
+        idx = _frame_indices(audio.shape[-1], n_fft, hop_length)
+        frames = audio[..., idx]
     window = jnp.asarray(hann_window_periodic(win_length))
     spec = jnp.fft.rfft(frames * window, axis=-1)
     mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
@@ -63,18 +82,35 @@ def istft(
 
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    flat_idx = idx.reshape(-1)
 
-    def ola(fr):
-        out = jnp.zeros((out_len,), dtype=fr.dtype)
-        return out.at[flat_idx].add(fr.reshape(-1))
+    if n_fft % hop_length == 0:
+        # Scatter-free overlap-add: frame f's R hop-size chunks land in
+        # output blocks f..f+R-1 — R shifted pads summed (TPU scatter-add
+        # over a 500k index table is the slow path this replaces).
+        R = n_fft // hop_length
+        B = frames.shape[0]
+        chunks = frames.reshape(B, n_frames, R, hop_length)
+        signal = None
+        for c in range(R):
+            piece = jnp.pad(chunks[:, :, c, :], ((0, 0), (c, R - 1 - c), (0, 0)))
+            signal = piece if signal is None else signal + piece
+        signal = signal.reshape(B, out_len)
+    else:
+        idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+        flat_idx = idx.reshape(-1)
 
-    signal = jax.vmap(ola)(frames)
+        def ola(fr):
+            out = jnp.zeros((out_len,), dtype=fr.dtype)
+            return out.at[flat_idx].add(fr.reshape(-1))
 
-    wsq = jnp.zeros((out_len,), dtype=window.dtype).at[flat_idx].add(
-        jnp.tile(window**2, (n_frames,))
-    )
+        signal = jax.vmap(ola)(frames)
+
+    # window-square normalizer is input-independent -> a host-side constant
+    wsq_np = np.zeros((out_len,), np.float64)
+    w2 = np.asarray(hann_window_periodic(win_length), np.float64) ** 2
+    for f in range(n_frames):
+        wsq_np[f * hop_length : f * hop_length + n_fft] += w2
+    wsq = jnp.asarray(wsq_np, dtype=window.dtype)
     signal = signal / jnp.maximum(wsq, 1e-11)
 
     pad = n_fft // 2

@@ -234,6 +234,75 @@ class TTSPipeline:
             )
         return out
 
+    def synthesise_corpus(self, utterances, key, n_timesteps: int = 10,
+                          temperature: float = 0.667, length_scale: float = 1.0,
+                          spk=None, batch_size: int = 8):
+        """Staged batched synthesis over a whole corpus (filelist serving).
+
+        ``synthesise_batch`` pays one blocking host round trip per batch to
+        pick the mel bucket (y_lengths.max fetch) and callers usually pay a
+        second one for ``mel_lengths`` — ~28 ms each through a
+        remote-attached chip. This path dispatches EVERY batch's (tiny)
+        encoder pass first, fetches all predicted mel lengths in ONE
+        transfer, then runs the decode+vocode stages per batch with no
+        further host syncs. Bit-identical outputs to the per-batch path.
+
+        Args:
+            utterances: list of 1-D int32 phoneme-id arrays.
+            spk: optional int speaker id (broadcast over the corpus).
+
+        Yields:
+            (batch_utterance_indices, out_dict) per batch, in
+            sorted-by-length order; out_dict["mel_lengths_host"] is a host
+            numpy array (already fetched — no extra sync needed).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        order = sorted(range(len(utterances)), key=lambda i: len(utterances[i]))
+        batches = [order[s : s + batch_size] for s in range(0, len(order), batch_size)]
+
+        # stage 1: dispatch all encoder passes; nothing blocks
+        encoded = []
+        for chunk in batches:
+            B = len(chunk)
+            T_x = pick_bucket(max(len(utterances[i]) for i in chunk), X_BUCKETS)
+            x = np.zeros((B, T_x), dtype=np.int32)
+            x_lengths = np.zeros((B,), dtype=np.int32)
+            for row, idx in enumerate(chunk):
+                x[row, : len(utterances[idx])] = utterances[idx]
+                x_lengths[row] = len(utterances[idx])
+            spks_j = None if spk is None else jnp.full((B,), int(spk), jnp.int32)
+            mu_x, w_ceil, y_lengths = self._encode_fn(T_x, length_scale)(
+                self.params, jnp.asarray(x), jnp.asarray(x_lengths), spks_j
+            )
+            encoded.append((chunk, T_x, mu_x, w_ceil, jnp.asarray(x_lengths),
+                            y_lengths, spks_j))
+
+        # stage 2: ONE host transfer for every batch's mel lengths
+        # (ragged last batch -> concatenate flat, split host-side)
+        flat = np.asarray(jnp.concatenate([e[5] for e in encoded]))
+        y_host, off = [], 0
+        for chunk, *_ in encoded:
+            y_host.append(flat[off : off + len(chunk)])
+            off += len(chunk)
+
+        # stage 3: decode + vocode per batch; mel bucket known host-side
+        for bi, (chunk, T_x, mu_x, w_ceil, x_lengths, y_lengths, spks_j) in enumerate(encoded):
+            T_y = pick_bucket(int(y_host[bi].max()), Y_BUCKETS)
+            out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
+                self.params, mu_x, w_ceil, x_lengths, y_lengths,
+                jax.random.fold_in(key, bi), spks=spks_j,
+            )
+            if self.vocoder is not None:
+                mel_btc = jnp.swapaxes(out["mel"], 1, 2)
+                out["waveform"] = self._vocode_fn()(
+                    self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
+                )
+            # already-fetched host lengths (decode clips to the bucket)
+            out["mel_lengths_host"] = np.minimum(y_host[bi], T_y).astype(np.int32)
+            yield chunk, out
+
     denoiser_strength: float = 0.00025
 
 
@@ -452,6 +521,39 @@ def unbatched_synthesis(args, pipeline: TTSPipeline, texts, spk):
     _print_rtf_summary(total_rtf, total_rtf_w)
 
 
+def staged_batched_synthesis(args, pipeline: TTSPipeline, texts, spk):
+    """--batched --staged: the corpus protocol (one host sync for the whole
+    filelist). Saves the same per-utterance artifacts as batched_synthesis;
+    RTF is reported over the whole corpus (per-batch timing is meaningless
+    when every encoder pass is dispatched up front)."""
+    import jax
+
+    processed = [process_text(i, t.strip(), pipeline.cleaner) for i, t in enumerate(texts)]
+    utts = [np.asarray(p["x"][0], np.int32) for p in processed]
+    key = jax.random.PRNGKey(args.seed)
+    t0 = dt.datetime.now()
+    total_samples = 0
+    for chunk, out in pipeline.synthesise_corpus(
+        utts, key, n_timesteps=args.steps, temperature=args.temperature,
+        length_scale=args.speaking_rate, spk=None if spk is None else int(spk[0]),
+        batch_size=args.batch_size,
+    ):
+        wavs = np.asarray(out["waveform"])
+        for row, idx in enumerate(chunk):
+            base_name = (
+                f"utterance_{idx:03d}_speaker_{args.spk:03d}" if args.spk is not None else f"utterance_{idx:03d}"
+            )
+            length = int(out["mel_lengths_host"][row])
+            new_dict = {"mel": np.asarray(out["mel"][row])[:, :length], "waveform": wavs[row][: length * 256]}
+            location = save_to_folder(base_name, new_dict, args.output_folder)
+            print(f"[🍵-{idx}] Waveform saved: {location}")
+        total_samples += int(out["mel_lengths_host"].sum()) * 256
+    t = (dt.datetime.now() - t0).total_seconds()
+    rtf_w = _rtf(t, total_samples)
+    print(f"[🍵] Corpus Matcha-TTS + VOCODER RTF: {rtf_w:.4f} ({len(texts)} utterances)")
+    _print_rtf_summary([rtf_w], [rtf_w])
+
+
 def batched_synthesis(args, pipeline: TTSPipeline, texts, spk):
     import jax
 
@@ -534,6 +636,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=32, help="Batch size only useful when --batched (default: 32)")
     parser.add_argument("--seed", type=int, default=1234, help="Noise seed (explicit PRNG; default 1234)")
     parser.add_argument("--fixed-y-bucket", type=int, default=0, help="Fix the mel bucket length and run the whole text->wav pipeline as ONE fused jit graph (no host sync; lowest latency). 0 = dynamic bucket pick.")
+    parser.add_argument("--staged", action="store_true", help="With --batched: staged corpus serving — dispatch every batch's encoder pass first, fetch all predicted mel lengths in one host transfer, then decode+vocode per bucket (highest filelist throughput).")
     parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
     parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
     parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~20%% faster, ~1e-3 wav deviation)")
@@ -556,6 +659,9 @@ def cli(argv=None):
             pass
     if args.full_precision:
         jax.config.update("jax_default_matmul_precision", "highest")
+    from matcha_tpu.utils.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse bucket-shape compiles across runs
     print(f"[+] Devices: {jax.devices()}")
     print_config(args)
     paths = assert_required_models_available(args)
@@ -579,6 +685,8 @@ def cli(argv=None):
         long_form_synthesis(args, pipeline, args.text, spk)
     elif len(texts) == 1 or not args.batched:
         unbatched_synthesis(args, pipeline, texts, spk)
+    elif args.staged:
+        staged_batched_synthesis(args, pipeline, texts, spk)
     else:
         batched_synthesis(args, pipeline, texts, spk)
 

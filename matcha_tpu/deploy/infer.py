@@ -39,6 +39,9 @@ def write_mel_outputs(mels, lengths, indices, output_dir):
 
 
 def main(argv=None) -> None:
+    from matcha_tpu.utils.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Inference from a serialized Matcha-TPU artifact")
     parser.add_argument("artifact", type=str, help=".mx artifact from matcha_tpu.deploy.export")
     parser.add_argument("checkpoint_path", type=str, help="checkpoint providing the params pytree")

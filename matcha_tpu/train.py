@@ -85,7 +85,9 @@ def train(cfg) -> Tuple[dict, dict]:
 
     from matcha_tpu.training.trainer import Trainer
 
-    cb = cfg.get("callbacks", {}).get("model_checkpoint", {})
+    cbs = cfg.get("callbacks") or {}
+    cb = cbs.get("model_checkpoint") or {}
+    ms = cbs.get("model_summary")
     trainer = Trainer(
         model=model,
         datamodule=datamodule,
@@ -109,6 +111,10 @@ def train(cfg) -> Tuple[dict, dict]:
         save_top_k=int(cb.get("save_top_k", 10)),
         monitor=str(cb.get("monitor", "epoch")),
         monitor_mode=str(cb.get("mode", "max")),
+        enable_checkpointing="model_checkpoint" in cbs,
+        save_last=bool(cb.get("save_last", True)),
+        model_summary_depth=int(ms.get("max_depth", 3)) if ms is not None else 0,
+        enable_progress_bar="rich_progress_bar" in cbs,
         precision=str(t.get("precision", "f32")),
         hparams={"cfg": dict(cfg)},
         scheduler=cfg.model.get("scheduler"),
@@ -134,8 +140,10 @@ def main(argv=None) -> Optional[float]:
     # Multi-host bootstrap (the DDP rank-management analog, SURVEY §2.4):
     # no-op unless MATCHA_DIST/MATCHA_COORDINATOR_ADDRESS opt in.
     from matcha_tpu.parallel.dist import maybe_initialize_distributed
+    from matcha_tpu.utils.utils import enable_compilation_cache
 
     maybe_initialize_distributed()
+    enable_compilation_cache()  # big-graph compiles are 160-210 s each
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = compose("train", overrides=argv)
     extras(cfg)

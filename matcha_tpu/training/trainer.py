@@ -25,6 +25,7 @@ loss scaling (SURVEY.md §2.3).
 
 import functools
 import os
+import sys
 import time
 from typing import Any, Dict, Optional
 
@@ -291,6 +292,29 @@ class MetricLogger:
                 log.warning(f"logger backend {name!r} failed to close")
 
 
+def summarize_params(params, max_depth: int = 3) -> str:
+    """Parameter-count table grouped by module path up to ``max_depth``
+    (the RichModelSummary analog, reference configs/callbacks/model_summary.yaml)."""
+    from collections.abc import Mapping
+
+    counts: Dict[str, int] = {}
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            key = "/".join(path[:max_depth]) or "(root)"
+            counts[key] = counts.get(key, 0) + int(np.prod(np.shape(node)))
+
+    walk(params.get("params", params) if isinstance(params, Mapping) else params, ())
+    width = max([len(k) for k in counts] + [6])
+    lines = [f"{'module':<{width}}  params"]
+    lines += [f"{k:<{width}}  {v:,}" for k, v in sorted(counts.items())]
+    lines.append(f"{'TOTAL':<{width}}  {sum(counts.values()):,}")
+    return "\n".join(lines)
+
+
 def prefetch_iterator(iterator, depth: int = 2):
     """Background-thread prefetch: overlap host-side data prep (espeak,
     STFT/mel) with device compute — the analog of the reference's
@@ -345,6 +369,10 @@ class Trainer:
         save_top_k: int = 10,
         monitor: str = "epoch",
         monitor_mode: str = "max",
+        enable_checkpointing: bool = True,
+        save_last: bool = True,
+        model_summary_depth: int = 0,
+        enable_progress_bar: bool = False,
         precision: str = "f32",
         log_validation_images: bool = True,
         hparams: Optional[dict] = None,
@@ -372,6 +400,13 @@ class Trainer:
         # i.e. most-recent-k; `loss/val` min keeps the best-validating k).
         self.monitor = monitor
         self.monitor_mode = monitor_mode
+        # callbacks group analogs (configs/callbacks/): `callbacks=none`
+        # disables checkpoint writing entirely, like training without a
+        # ModelCheckpoint callback in the reference.
+        self.enable_checkpointing = enable_checkpointing
+        self.save_last = save_last
+        self.model_summary_depth = model_summary_depth
+        self.enable_progress_bar = enable_progress_bar
         self.log_validation_images = log_validation_images
         self.hparams = hparams or {}
         self._start_epoch = 0
@@ -457,6 +492,8 @@ class Trainer:
         state = self.init_state(first, restore_from)
         n_params = sum(p.size for p in jax.tree.leaves(state.params))
         log.info(f"Model parameters: {n_params/1e6:.2f}M | mesh: {dict(self.mesh.shape)}")
+        if self.model_summary_depth > 0:
+            log.info("Model summary:\n" + summarize_params(state.params, self.model_summary_depth))
         self.logger.hparams({**self.hparams, "n_params": n_params})
 
         base_key = jax.random.PRNGKey(self.seed + 17)
@@ -510,6 +547,15 @@ class Trainer:
                         f"(dur {host['dur_loss']:.4f} prior {host['prior_loss']:.4f} "
                         f"diff {host['diff_loss']:.4f}) grad_norm={host['grad_norm']:.3f}"
                     )
+                if (self.enable_progress_bar and jax.process_index() == 0
+                        and sys.stdout.isatty()):
+                    # in-place step ticker (RichProgressBar analog); metric
+                    # values only at log steps — fetching them every step
+                    # would force a device sync per step.
+                    print(f"\repoch {epoch} | step {step}"
+                          + (f" | loss {last_metrics.get('loss', float('nan')):.4f}"
+                             if last_metrics else ""),
+                          end="", flush=True)
                 if self.fast_dev_run or (self.max_steps > 0 and step >= self.max_steps):
                     stop = True
                     break
@@ -523,7 +569,8 @@ class Trainer:
             log.info(f"epoch {epoch} done in {time.time()-t_epoch:.1f}s")
             epoch += 1
 
-        self._save(state, epoch, tag="last")
+        if self.enable_checkpointing:
+            self._save(state, epoch, tag="last")
         self.logger.close()
         self._final_state = state  # inspectable after fit (tests, eval)
         return {"loss/train": last_metrics.get("loss", float("nan")),
@@ -612,7 +659,10 @@ class Trainer:
         return val if val == val else float("-inf")  # NaN -> never retained over real scores
 
     def _maybe_checkpoint(self, state: TrainState, epochs_done: int) -> None:
-        self._save(state, epochs_done, tag="last")
+        if not self.enable_checkpointing:
+            return
+        if self.save_last:
+            self._save(state, epochs_done, tag="last")
         if self.save_every_n_epochs and epochs_done % self.save_every_n_epochs == 0:
             path = self._save(state, epochs_done)
             self._ckpt_epochs.append((self._monitor_score(epochs_done), len(self._ckpt_epochs), path))

@@ -134,6 +134,9 @@ def main(argv=None):
     import logging
 
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s][%(name)s] %(message)s")
+    from matcha_tpu.utils.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="Train HiFi-GAN (matcha-tpu vocoder)")
     p.add_argument("--train-filelist", type=str, required=True, help="`path|...` filelist of wavs")
     p.add_argument("--output-dir", type=str, default="logs/vocoder")

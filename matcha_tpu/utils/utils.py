@@ -155,6 +155,33 @@ def get_user_data_dir(appname: str = "matcha_tpu") -> Path:
     return final_path
 
 
+def enable_compilation_cache(cache_dir=None, min_compile_secs: float = 1.0) -> None:
+    """Turn on JAX's persistent compilation cache for every entry point.
+
+    First compiles through the remote-compile tunnel cost 160-210 s per
+    bucket shape (PERFORMANCE.md); the persistent cache makes every
+    process restart reuse them. Cache lives under the user data dir
+    (``MATCHA_HOME`` aware) unless ``MATCHA_COMPILATION_CACHE`` /
+    ``cache_dir`` overrides; set either to ``"off"``/``"0"`` to disable.
+    """
+    import jax
+
+    env = os.environ.get("MATCHA_COMPILATION_CACHE")
+    target = cache_dir or env
+    if str(target).lower() in ("off", "0", "false", "none"):
+        return
+    if target is None:
+        target = get_user_data_dir().joinpath("xla_cache")
+    try:
+        Path(target).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(target))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", float(min_compile_secs))
+        # cache even when only a few devices / CPU (default policy skips some cases)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - config name drift across jax versions
+        log.warning(f"persistent compilation cache unavailable: {e}")
+
+
 def assert_model_downloaded(checkpoint_path, url: str, use_wget: bool = True) -> None:
     """Ensure a checkpoint exists locally, downloading it if necessary."""
     import subprocess

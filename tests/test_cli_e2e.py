@@ -171,3 +171,66 @@ def test_cli_bf16_vocoder_close_to_f32(fabricated_ckpts, monkeypatch):
     # regime, so pointwise max-deviation is unbounded; the mean deviation
     # bounds the audible effect (trained weights measured ~1e-3 max).
     assert np.abs(w16 - w32).mean() < 0.02
+
+
+@pytest.mark.slow
+def test_corpus_serving_matches_per_batch(fabricated_ckpts, monkeypatch):
+    """synthesise_corpus (staged filelist protocol) is bit-identical to the
+    per-batch synthesise_batch path and its pre-fetched mel_lengths_host
+    match the device mel_lengths."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha
+
+    model, params = load_matcha(
+        "matcha_ljspeech", os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    )
+    pipeline = TTSPipeline(model, params, cleaner="english_cleaners_no_espeak")
+    rng = np.random.default_rng(0)
+    utts = [rng.integers(1, 178, size=(int(n),)).astype(np.int32)
+            for n in rng.integers(8, 40, size=5)]
+    key = jax.random.PRNGKey(11)
+
+    staged = list(pipeline.synthesise_corpus(utts, key, n_timesteps=1, batch_size=2))
+    assert sorted(i for chunk, _ in staged for i in chunk) == list(range(5))
+
+    order = sorted(range(5), key=lambda i: len(utts[i]))
+    for bi, (chunk, out) in enumerate(staged):
+        assert chunk == order[bi * 2 : bi * 2 + 2]
+        np.testing.assert_array_equal(
+            np.asarray(out["mel_lengths"]), out["mel_lengths_host"])
+        # per-batch path with the same fold gives the same mel
+        B = len(chunk)
+        max_len = max(len(utts[i]) for i in chunk)
+        x = np.zeros((B, max_len), np.int32)
+        xl = np.zeros((B,), np.int32)
+        for row, idx in enumerate(chunk):
+            x[row, : len(utts[idx])] = utts[idx]
+            xl[row] = len(utts[idx])
+        ref = pipeline.synthesise_batch(x, xl, jax.random.fold_in(key, bi), n_timesteps=1)
+        np.testing.assert_allclose(
+            np.asarray(out["mel"]), np.asarray(ref["mel"]), rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_cli_file_batched_staged(fabricated_ckpts, tmp_path, monkeypatch):
+    """--file --batched --staged drives the corpus protocol through the
+    real CLI and writes one wav per line."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    out_dir = tmp_path / "out"
+    filelist = tmp_path / "texts.txt"
+    filelist.write_text("hello world\nthe quick brown fox\na longer sentence for the third line\n")
+
+    from matcha_tpu.cli import cli
+
+    cli([
+        "--file", str(filelist),
+        "--batched", "--staged", "--batch_size", "2",
+        "--cleaner", "english_cleaners_no_espeak",
+        "--steps", "1",
+        "--output_folder", str(out_dir),
+        "--seed", "3",
+    ])
+    for i in range(3):
+        assert (out_dir / f"utterance_{i:03d}.wav").exists()

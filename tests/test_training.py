@@ -330,3 +330,68 @@ def test_bf16_mixed_precision_step(datamodule):
     )
     # bf16 loss within ~2% of the f32 loss
     assert abs(float(m16["loss"]) - float(m32["loss"])) / float(m32["loss"]) < 0.02
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """The persistent-compile-cache helper points jax at a real directory
+    (MATCHA_COMPILATION_CACHE override) and honors the off switch."""
+    import jax
+
+    from matcha_tpu.utils.utils import enable_compilation_cache
+
+    target = tmp_path / "xla_cache"
+    monkeypatch.setenv("MATCHA_COMPILATION_CACHE", str(target))
+    enable_compilation_cache()
+    assert target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+    # "off" leaves the previous setting untouched
+    monkeypatch.setenv("MATCHA_COMPILATION_CACHE", "off")
+    enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+
+def test_callbacks_none_and_model_summary(tmp_path, datamodule):
+    """`callbacks=none` disables checkpoint writing (reference
+    configs/callbacks/none.yaml analog); summarize_params produces a
+    depth-limited param table."""
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.trainer import Trainer, summarize_params
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=32, enc_filter_channels=64,
+        enc_filter_channels_dp=32, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(32, 32), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16,
+    )
+    model = MatchaTTS(**tiny)
+    out_dir = str(tmp_path / "run_nockpt")
+    trainer = Trainer(
+        model=model, datamodule=datamodule, lr=1e-4,
+        max_epochs=1, max_steps=1, output_dir=out_dir, seed=0,
+        fast_dev_run=True, log_validation_images=False,
+        enable_checkpointing=False, model_summary_depth=2,
+    )
+    trainer.fit()
+    assert not os.path.exists(os.path.join(out_dir, "checkpoints"))
+
+    table = summarize_params(trainer._final_state.params, max_depth=2)
+    assert "TOTAL" in table
+    n_params = sum(p.size for p in jax.tree.leaves(trainer._final_state.params))
+    assert f"{n_params:,}" in table
+
+
+def test_callbacks_config_group_composition():
+    """The callbacks group splits like the reference tree and `none`
+    empties it; train.py maps absence of model_checkpoint to
+    enable_checkpointing=False."""
+    from matcha_tpu.utils.config import compose
+
+    cfg = compose("train", overrides=[])
+    cbs = cfg["callbacks"]
+    assert cbs["model_checkpoint"]["save_top_k"] == 10
+    assert cbs["model_summary"]["max_depth"] == 3
+    assert "rich_progress_bar" in cbs
+
+    cfg2 = compose("train", overrides=["callbacks=none"])
+    assert not dict(cfg2.get("callbacks") or {})
