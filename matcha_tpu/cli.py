@@ -74,13 +74,13 @@ class TTSPipeline:
 
     def __init__(self, model, params, vocoder=None, vocoder_params=None,
                  denoiser_bias=None, cleaner: str = "english_cleaners2",
-                 vocoder_bf16: bool = False, vocoder_pallas: bool = True):
+                 vocoder_bf16: bool = False, vocoder_pallas: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
         self.jax = jax
         self.model = model
-        self.params = params
         self.vocoder = vocoder
         self.vocoder_bf16 = vocoder_bf16
         # Pallas-fused MRF vocoder (ops/mrf_pallas.py): ~2.2x faster than
@@ -90,6 +90,25 @@ class TTSPipeline:
             # bf16 vocoder weights: ~20% faster (bandwidth-bound MRF), max
             # waveform deviation ~1e-3 (PERFORMANCE.md).
             vocoder_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), vocoder_params)
+        # Multi-chip data-parallel serving (CLI --data-parallel): params
+        # replicate once onto the mesh, every batch shards its leading axis
+        # over 'data', and each jitted stage runs SPMD — the TPU-pod analog
+        # of running N CLI processes, with zero code in the stages
+        # themselves (GSPMD partitions the compiled graphs). A 1-device
+        # mesh is ignored: committed shardings on trivial meshes force a
+        # reshard round trip per call on remote-attached chips.
+        self.mesh = None
+        if mesh is not None and mesh.devices.size > 1:
+            from matcha_tpu.parallel.mesh import replicated
+
+            self.mesh = mesh
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            if vocoder_params is not None:
+                vocoder_params = jax.device_put(vocoder_params, rep)
+            if denoiser_bias is not None:
+                denoiser_bias = jax.device_put(denoiser_bias, rep)
+        self.params = params
         self.vocoder_params = vocoder_params
         self.denoiser_bias = denoiser_bias
         self.cleaner = cleaner
@@ -97,6 +116,26 @@ class TTSPipeline:
         self._decode_cache = {}
         self._vocode_cache = {}
         self._fused_cache = {}
+
+    def _place(self, *arrays):
+        """Commit batch arrays to the mesh (leading axis over 'data').
+
+        No-op without a mesh. Batches that do not divide the data axis are
+        replicated instead — correct, just not parallel (pad the batch to
+        a multiple of the data-axis size for full utilisation)."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from matcha_tpu.parallel.mesh import batch_sharding, replicated
+
+        n_data = self.mesh.shape.get("data", 1)
+        placed = []
+        for a in arrays:
+            if a is None:
+                placed.append(None)
+            else:
+                s = batch_sharding(self.mesh) if a.shape[0] % n_data == 0 else replicated(self.mesh)
+                placed.append(self.jax.device_put(a, s))
+        return placed if len(placed) > 1 else placed[0]
 
     # -- jitted stage builders (cached per bucket shape) -------------------
     def _encode_fn(self, T_x: int, length_scale: float):
@@ -122,14 +161,30 @@ class TTSPipeline:
             )
         return self._decode_cache[key]
 
+    # Below this many total mel frames (B x T_y, static under jit) the XLA
+    # conv path beats the Pallas MRF kernel: measured at B=1/T_y=512 XLA is
+    # ~11 ms device vs Pallas ~22 ms (the serial per-grid-step DMA waits
+    # dominate small grids), while at B=8/T_y=1024 Pallas wins 76 vs 168 ms
+    # (scripts/profile_latency.py).
+    PALLAS_MIN_MEL_FRAMES = 4096
+
     def _voc_apply(self):
-        """The mel->wav callable: Pallas-fused MRF path (default on TPU)
-        or the flax/XLA conv path (CPU, or --no-pallas-vocoder)."""
+        """The mel->wav callable: Pallas-fused MRF path (default on TPU,
+        large batches) or the flax/XLA conv path (CPU, small batches, or
+        --no-pallas-vocoder). The choice is made per static mel shape at
+        trace time, so every jit cache entry gets the faster path."""
         if self.vocoder_pallas and self.jax.default_backend() == "tpu":
             from matcha_tpu.models.hifigan_pallas import generator_apply_pallas
 
             h = self.vocoder.config
-            return lambda vp, mel: generator_apply_pallas(vp, h, mel)
+            flax_apply = self.vocoder.apply
+
+            def apply(vp, mel):
+                if mel.shape[0] * mel.shape[1] >= self.PALLAS_MIN_MEL_FRAMES:
+                    return generator_apply_pallas(vp, h, mel)
+                return flax_apply(vp, mel)
+
+            return apply
         return self.vocoder.apply
 
     def _vocode_fn(self):
@@ -209,9 +264,10 @@ class TTSPipeline:
         T_x = pick_bucket(x.shape[-1], X_BUCKETS)
         x_pad = np.zeros((x.shape[0], T_x), dtype=np.int32)
         x_pad[:, : x.shape[-1]] = x
-        x_pad = jnp.asarray(x_pad)
-        x_lengths = jnp.asarray(x_lengths)
-        spks_j = None if spks is None else jnp.asarray(spks)
+        x_pad, x_lengths, spks_j = self._place(
+            jnp.asarray(x_pad), jnp.asarray(x_lengths),
+            None if spks is None else jnp.asarray(spks),
+        )
 
         if fixed_y_bucket:
             fn = self._fused_fn(T_x, int(fixed_y_bucket), n_timesteps, temperature,
@@ -273,10 +329,11 @@ class TTSPipeline:
                 x[row, : len(utterances[idx])] = utterances[idx]
                 x_lengths[row] = len(utterances[idx])
             spks_j = None if spk is None else jnp.full((B,), int(spk), jnp.int32)
+            x_j, xl_j, spks_j = self._place(jnp.asarray(x), jnp.asarray(x_lengths), spks_j)
             mu_x, w_ceil, y_lengths = self._encode_fn(T_x, length_scale)(
-                self.params, jnp.asarray(x), jnp.asarray(x_lengths), spks_j
+                self.params, x_j, xl_j, spks_j
             )
-            encoded.append((chunk, T_x, mu_x, w_ceil, jnp.asarray(x_lengths),
+            encoded.append((chunk, T_x, mu_x, w_ceil, xl_j,
                             y_lengths, spks_j))
 
         # stage 2: ONE host transfer for every batch's mel lengths
@@ -641,6 +698,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
     parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~20%% faster, ~1e-3 wav deviation)")
     parser.add_argument("--no-pallas-vocoder", action="store_true", help="disable the Pallas-fused MRF vocoder kernel (default on: ~2.2x faster, ~3e-4 wav deviation)")
+    parser.add_argument("--data-parallel", action="store_true", help="shard batches over ALL attached devices (data-parallel SPMD serving; params replicate once, each jit stage runs partitioned). Pick --batch_size a multiple of the device count.")
     return parser
 
 
@@ -674,9 +732,16 @@ def cli(argv=None):
     model, params = load_matcha(args.model, paths["matcha"])
     vocoder, vocoder_params, bias = load_vocoder(args.vocoder, paths["vocoder"])
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from matcha_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+        print(f"[+] Data-parallel serving over {mesh.devices.size} devices")
+
     pipeline = TTSPipeline(model, params, vocoder, vocoder_params, bias,
                            cleaner=args.cleaner, vocoder_bf16=args.bf16_vocoder,
-                           vocoder_pallas=not args.no_pallas_vocoder)
+                           vocoder_pallas=not args.no_pallas_vocoder, mesh=mesh)
     pipeline.denoiser_strength = args.denoiser_strength
 
     texts = get_texts(args)

@@ -1,0 +1,355 @@
+"""``matcha-serve``: production HTTP serving daemon.
+
+The reference ships a demo UI (matcha/app.py) but no serving runtime; a
+production deployment needs a process that keeps the compiled graphs warm
+and turns concurrent requests into efficient device batches. This daemon
+is that runtime, TPU-first:
+
+* **Warm start** — ``--warmup`` pre-compiles the chosen (x-bucket,
+  y-bucket) graph pairs before the port opens, so no request ever pays a
+  compile (with the persistent XLA cache, warmup after a restart is a
+  disk load).
+* **Dynamic micro-batching** — concurrent requests queue; a batcher
+  thread drains up to ``--max-batch`` of them (waiting at most
+  ``--batch-window-ms`` after the first), pads them into ONE bucketed
+  batch and runs a single SPMD dispatch. Batching is where TPU serving
+  throughput comes from (PERFORMANCE.md: 1.7x realtime at B=1 vs 330x+
+  batched); the window bounds the latency cost.
+* **Stdlib only** — ``http.server.ThreadingHTTPServer``; no framework
+  dependencies. JSON in, WAV (24-bit PCM) or JSON out.
+
+Endpoints:
+  POST /synthesise   {"text": ..., ["speaking_rate": f], ["spk": i],
+                      ["format": "wav"|"json"]}
+      -> audio/wav bytes (default), or JSON with latency/RTF metadata.
+  GET  /healthz      -> {"status": "ok", "batches": N, "requests": N}
+
+Run:  matcha-serve --port 8080 --warmup 128:512 [model/vocoder flags]
+"""
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+import wave
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from matcha_tpu.cli import TTSPipeline
+
+SR = 22050
+HOP = 256
+
+
+def wav_bytes(audio: np.ndarray, sample_rate: int = SR) -> bytes:
+    """Mono 24-bit PCM WAV in memory (same encoding as utils.write_wav)."""
+    clipped = np.clip(np.asarray(audio, np.float32).squeeze(), -1.0, 1.0)
+    scaled = (clipped * (2**23 - 1)).astype(np.int32)
+    raw = scaled.astype("<i4").tobytes()
+    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(sample_rate)
+        f.writeframes(b)
+    return buf.getvalue()
+
+
+@dataclass
+class _Request:
+    seq: np.ndarray          # 1-D int32 phoneme ids
+    speaking_rate: float
+    spk: int | None
+    done: threading.Event = field(default_factory=threading.Event)
+    wav: np.ndarray | None = None
+    n_frames: int = 0
+    error: str | None = None
+    t_enqueue: float = field(default_factory=time.perf_counter)
+    t_done: float = 0.0
+
+
+class BatchingServer:
+    """Queue + batcher thread around a warm :class:`TTSPipeline`.
+
+    Requests with the same (speaking_rate, spk) merge into one device
+    batch; mixed keys flush separately (speaking_rate is baked into the
+    encode graph as a trace constant, cli.py _encode_fn)."""
+
+    def __init__(self, pipeline: TTSPipeline, max_batch: int = 8,
+                 batch_window_ms: float = 10.0, n_timesteps: int = 10,
+                 temperature: float = 0.667, default_rate: float = 1.0,
+                 seed: int = 1234):
+        import jax
+
+        self.jax = jax
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_ms / 1e3
+        self.n_timesteps = n_timesteps
+        self.temperature = temperature
+        self.default_rate = default_rate
+        self._key = jax.random.PRNGKey(seed)
+        self._n_calls = 0
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.n_batches = 0
+        self.n_requests = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side -------------------------------------------------------
+    def submit(self, text: str, speaking_rate: float | None = None,
+               spk: int | None = None, timeout_s: float = 120.0) -> _Request:
+        from matcha_tpu.text import text_to_sequence
+        from matcha_tpu.utils.utils import intersperse
+
+        seq = intersperse(text_to_sequence(text, [self.pipeline.cleaner]), 0)
+        req = _Request(
+            seq=np.asarray(seq, np.int32),
+            speaking_rate=float(speaking_rate or self.default_rate),
+            spk=spk,
+        )
+        self.n_requests += 1
+        self._q.put(req)
+        if not req.done.wait(timeout_s):
+            req.error = "timeout"
+        return req
+
+    def shutdown(self):
+        self._stop.set()
+        self._q.put(None)  # unblock the worker
+        self._thread.join(timeout=5)
+
+    # -- batcher thread ----------------------------------------------------
+    def _take_batch(self):
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.batch_window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            # group by trace-constant key; typically one group
+            groups: dict[tuple, list[_Request]] = {}
+            for r in batch:
+                groups.setdefault((r.speaking_rate, r.spk), []).append(r)
+            for (rate, spk), reqs in groups.items():
+                try:
+                    self._run(reqs, rate, spk)
+                except Exception as e:  # pragma: no cover - device errors
+                    for r in reqs:
+                        r.error = f"{type(e).__name__}: {e}"
+                        r.done.set()
+
+    def _run(self, reqs, rate, spk):
+        B = len(reqs)
+        T = max(len(r.seq) for r in reqs)
+        x = np.zeros((B, T), np.int32)  # synthesise_batch pads to the x-bucket
+        xl = np.zeros((B,), np.int32)
+        for i, r in enumerate(reqs):
+            x[i, : len(r.seq)] = r.seq
+            xl[i] = len(r.seq)
+        spks = None if spk is None else np.full((B,), int(spk), np.int32)
+        self._n_calls += 1
+        out = self.pipeline.synthesise_batch(
+            x, xl, self.jax.random.fold_in(self._key, self._n_calls),
+            n_timesteps=self.n_timesteps, temperature=self.temperature,
+            length_scale=rate, spks=spks,
+        )
+        wavs = np.asarray(out["waveform"])
+        mel_lengths = np.asarray(out["mel_lengths"])
+        self.n_batches += 1
+        for i, r in enumerate(reqs):
+            n = int(mel_lengths[i])
+            r.n_frames = n
+            r.wav = wavs[i, : n * HOP]
+            r.t_done = time.perf_counter()
+            r.done.set()
+
+    # -- warmup ------------------------------------------------------------
+    def warmup(self, pairs):
+        """Pre-compile (T_x, T_y) graph pairs: one dummy batch per pair per
+        batch size 1 and max_batch (the two shapes serving actually hits)."""
+        for T_x, T_y in pairs:
+            for B in {1, self.max_batch}:
+                x = np.ones((B, T_x), np.int32)
+                xl = np.full((B,), T_x, np.int32)
+                mu_x, w_ceil, y_lengths = self.pipeline._encode_fn(T_x, self.default_rate)(
+                    self.pipeline.params, self.jax.numpy.asarray(x),
+                    self.jax.numpy.asarray(xl), None)
+                out = self.pipeline._decode_fn(T_x, T_y, self.n_timesteps, self.temperature)(
+                    self.pipeline.params, mu_x, w_ceil,
+                    self.jax.numpy.asarray(xl), y_lengths,
+                    self.jax.random.PRNGKey(0), spks=None)
+                if self.pipeline.vocoder is not None:
+                    mel_btc = self.jax.numpy.swapaxes(out["mel"], 1, 2)
+                    self.pipeline._vocode_fn()(
+                        self.pipeline.vocoder_params, mel_btc,
+                        self.jax.numpy.float32(self.pipeline.denoiser_strength))
+
+
+def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int = 8080):
+    """ThreadingHTTPServer wired to the batcher (stdlib only)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "batches": batcher.n_batches,
+                                 "requests": batcher.n_requests})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesise":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                text = payload["text"]
+            except (KeyError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            req = batcher.submit(text, payload.get("speaking_rate"),
+                                 payload.get("spk"))
+            if req.error:
+                self._json(500, {"error": req.error})
+                return
+            latency_ms = (req.t_done - req.t_enqueue) * 1e3
+            audio_s = len(req.wav) / SR
+            if payload.get("format") == "json":
+                self._json(200, {
+                    "n_samples": int(len(req.wav)),
+                    "audio_seconds": round(audio_s, 3),
+                    "latency_ms": round(latency_ms, 2),
+                    "rtf": round(latency_ms / 1e3 / max(audio_s, 1e-9), 4),
+                })
+                return
+            body = wav_bytes(req.wav)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Latency-Ms", f"{latency_ms:.2f}")
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def _parse_warmup(spec: str):
+    pairs = []
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        tx, ty = part.split(":")
+        pairs.append((int(tx), int(ty)))
+    return pairs
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="🍵 Matcha-TTS (TPU) serving daemon")
+    p.add_argument("--model", type=str, default="matcha_ljspeech")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--vocoder", type=str, default=None)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-window-ms", type=float, default=10.0)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--temperature", type=float, default=0.667)
+    p.add_argument("--speaking_rate", type=float, default=None)
+    p.add_argument("--spk", type=int, default=None)
+    p.add_argument("--warmup", type=str, default="128:512",
+                   help="comma list of Tx:Ty bucket pairs to pre-compile (empty to skip)")
+    p.add_argument("--cleaner", type=str, default="english_cleaners2")
+    p.add_argument("--bf16-vocoder", action="store_true")
+    p.add_argument("--no-pallas-vocoder", action="store_true")
+    p.add_argument("--data-parallel", action="store_true")
+    return p
+
+
+def main(argv=None):
+    from matcha_tpu.cli import (
+        assert_required_models_available,
+        load_matcha,
+        load_vocoder,
+        validate_args,
+    )
+    from matcha_tpu.utils.utils import enable_compilation_cache
+
+    args = build_parser().parse_args(argv)
+    # reuse the CLI's model-registry validation (fills vocoder/rate defaults)
+    args.text, args.file, args.batched = "x", None, False
+    args = validate_args(args)
+    enable_compilation_cache()
+    import jax
+
+    paths = assert_required_models_available(args)
+    if args.checkpoint_path is not None:
+        paths["matcha"] = args.checkpoint_path
+        args.model = "custom_model"
+    model, params = load_matcha(args.model, paths["matcha"])
+    vocoder, vocoder_params, bias = load_vocoder(args.vocoder, paths["vocoder"])
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from matcha_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+    pipeline = TTSPipeline(model, params, vocoder, vocoder_params, bias,
+                           cleaner=args.cleaner, vocoder_bf16=args.bf16_vocoder,
+                           vocoder_pallas=not args.no_pallas_vocoder, mesh=mesh)
+    batcher = BatchingServer(pipeline, max_batch=args.max_batch,
+                             batch_window_ms=args.batch_window_ms,
+                             n_timesteps=args.steps, temperature=args.temperature,
+                             default_rate=args.speaking_rate or 1.0)
+    pairs = _parse_warmup(args.warmup)
+    if pairs:
+        print(f"[!] Warming {len(pairs)} bucket pair(s) x batch sizes {{1,{args.max_batch}}}...")
+        t0 = time.time()
+        batcher.warmup(pairs)
+        print(f"[+] Warm in {time.time()-t0:.0f}s")
+    server = make_http_server(batcher, args.host, args.port)
+    print(f"[🍵] Serving on http://{args.host}:{server.server_address[1]} "
+          f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,14 @@ def train(cfg) -> Tuple[dict, dict]:
     model = build_model_from_cfg(cfg)
 
     t = cfg.trainer
+    if str(t.get("accelerator", "auto")) == "cpu":
+        # trainer.accelerator=cpu (reference configs/trainer/cpu.yaml):
+        # force the CPU backend even when a TPU is attached.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialised (e.g. by an earlier run in-process)
     output_dir = cfg.paths.output_dir
     os.makedirs(output_dir, exist_ok=True)
     save_config(cfg, os.path.join(output_dir, "config.yaml"))
@@ -116,6 +124,7 @@ def train(cfg) -> Tuple[dict, dict]:
         model_summary_depth=int(ms.get("max_depth", 3)) if ms is not None else 0,
         enable_progress_bar="rich_progress_bar" in cbs,
         precision=str(t.get("precision", "f32")),
+        devices=t.get("devices", "all"),
         hparams={"cfg": dict(cfg)},
         scheduler=cfg.model.get("scheduler"),
         loggers=cfg.get("logger", {"tensorboard": {}}),

@@ -374,6 +374,7 @@ class Trainer:
         model_summary_depth: int = 0,
         enable_progress_bar: bool = False,
         precision: str = "f32",
+        devices="all",
         log_validation_images: bool = True,
         hparams: Optional[dict] = None,
         scheduler: Optional[dict] = None,
@@ -423,6 +424,11 @@ class Trainer:
         import math as _math
 
         n_dev = len(jax.devices())
+        if devices not in (None, "all", "auto", -1):
+            # trainer.devices (reference configs/trainer/*.yaml): cap how
+            # many local devices the mesh uses (int, or a list of indices).
+            n_cap = len(devices) if isinstance(devices, (list, tuple)) else int(devices)
+            n_dev = max(1, min(n_dev, n_cap))
         pcount = jax.process_count()
         local_bs = int(getattr(datamodule, "batch_size", n_dev))
         n_local = max(1, _math.gcd((n_dev // n_model_axis) // pcount, local_bs))

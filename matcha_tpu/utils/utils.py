@@ -168,7 +168,7 @@ def enable_compilation_cache(cache_dir=None, min_compile_secs: float = 1.0) -> N
 
     env = os.environ.get("MATCHA_COMPILATION_CACHE")
     target = cache_dir or env
-    if str(target).lower() in ("off", "0", "false", "none"):
+    if target is not None and str(target).lower() in ("off", "0", "false", "none"):
         return
     if target is None:
         target = get_user_data_dir().joinpath("xla_cache")

@@ -4,6 +4,7 @@ Completion is forced by fetching the loss — on tunnel-attached devices
 block_until_ready() can return before the device finishes.
 """
 
+import sys
 import time
 
 import numpy as np
@@ -16,6 +17,8 @@ def main():
     from matcha_tpu.models import MatchaTTS
     from matcha_tpu.training.trainer import TrainState, make_optimizer, make_train_step
 
+    precision = sys.argv[1] if len(sys.argv) > 1 else "f32"
+    print("precision:", precision)
     B, Tx, Ty = 32, 384, 832
     rng = np.random.default_rng(0)
     model = MatchaTTS()
@@ -33,7 +36,7 @@ def main():
     )
     tx = make_optimizer()
     state = TrainState(step=jnp.asarray(0), params=params, opt_state=tx.init(params))
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, precision=precision)
 
     t0 = time.time()
     state, m = step(state, batch, jax.random.PRNGKey(2))

@@ -234,3 +234,42 @@ def test_cli_file_batched_staged(fabricated_ckpts, tmp_path, monkeypatch):
     ])
     for i in range(3):
         assert (out_dir / f"utterance_{i:03d}.wav").exists()
+
+
+def test_data_parallel_serving_matches_single_device(fabricated_ckpts, monkeypatch):
+    """TTSPipeline(mesh=...) shards batches over the 8-device CPU mesh and
+    reproduces the single-device outputs (GSPMD partitioning is a layout
+    decision, not a numerics change)."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha
+    from matcha_tpu.parallel.mesh import make_mesh
+
+    model, params = load_matcha(
+        "matcha_ljspeech", os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    )
+    single = TTSPipeline(model, params, cleaner="english_cleaners_no_espeak")
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = TTSPipeline(model, params, cleaner="english_cleaners_no_espeak", mesh=mesh)
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(1, 178, size=(8, 24)).astype(np.int32)
+    xl = np.full((8,), 24, np.int32)
+    key = jax.random.PRNGKey(3)
+
+    ref = single.synthesise_batch(x, xl, key, n_timesteps=2)
+    out = sharded.synthesise_batch(x, xl, key, n_timesteps=2)
+    np.testing.assert_allclose(np.asarray(out["mel"]), np.asarray(ref["mel"]),
+                               rtol=1e-5, atol=1e-5)
+
+    # the staged corpus path shards too (batch_size == data axis)
+    utts = [x[i, : rng.integers(10, 25)] for i in range(8)]
+    staged = list(sharded.synthesise_corpus(utts, key, n_timesteps=1, batch_size=8))
+    assert sorted(i for chunk, _ in staged for i in chunk) == list(range(8))
+
+    # non-divisible batches fall back to replication but stay correct
+    out3 = sharded.synthesise_batch(x[:3], xl[:3], key, n_timesteps=2)
+    ref3 = single.synthesise_batch(x[:3], xl[:3], key, n_timesteps=2)
+    np.testing.assert_allclose(np.asarray(out3["mel"]), np.asarray(ref3["mel"]),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,133 @@
+"""Serving daemon (matcha_tpu/serve.py): micro-batching + HTTP surface.
+
+Drives the real ThreadingHTTPServer over a loopback socket with the tiny
+fabricated checkpoint (conftest-style), asserting concurrent requests
+merge into device batches and the WAV/JSON responses are well-formed.
+"""
+
+import io
+import json
+import os
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from tests.test_cli_e2e import fabricated_ckpts  # noqa: F401  (fixture reuse)
+
+
+@pytest.fixture()
+def batcher(fabricated_ckpts, monkeypatch):  # noqa: F811
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder
+    from matcha_tpu.serve import BatchingServer
+
+    model, params = load_matcha(
+        "matcha_ljspeech", os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    )
+    vocoder, voc_params, bias = load_vocoder(
+        "hifigan_T2_v1", os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    )
+    pipeline = TTSPipeline(model, params, vocoder, voc_params, bias,
+                           cleaner="english_cleaners_no_espeak")
+    b = BatchingServer(pipeline, max_batch=4, batch_window_ms=200.0,
+                       n_timesteps=1)
+    yield b
+    b.shutdown()
+
+
+def test_concurrent_requests_merge_into_one_batch(batcher):
+    """4 concurrent submits inside the window -> ONE device batch."""
+    batcher.warmup([(32, 128)])  # compile before timing-sensitive batching
+    results = [None] * 4
+    texts = ["hello there", "a somewhat longer sentence here",
+             "short", "the quick brown fox jumps"]
+
+    def worker(i):
+        results[i] = batcher.submit(texts[i], timeout_s=300.0)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    n0 = batcher.n_batches
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for r in results:
+        assert r.error is None
+        assert r.wav is not None and r.wav.size == r.n_frames * 256
+        assert np.isfinite(r.wav).all()
+    assert batcher.n_batches == n0 + 1, "requests did not merge into one batch"
+
+
+def test_mixed_speaking_rates_split_groups(batcher):
+    """Different speaking_rate values are trace constants -> separate groups."""
+    out = [None, None]
+
+    def w(i, rate):
+        out[i] = batcher.submit("some text", speaking_rate=rate, timeout_s=300.0)
+
+    ts = [threading.Thread(target=w, args=(0, 1.0)), threading.Thread(target=w, args=(1, 2.0))]
+    n0 = batcher.n_batches
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(r.error is None for r in out)
+    assert batcher.n_batches >= n0 + 1
+    # the faster rate must not produce more frames than the slower one
+    assert out[1].n_frames >= out[0].n_frames  # rate is length_scale: 2.0 = slower = longer
+
+
+def test_http_server_end_to_end(batcher):
+    """POST /synthesise returns a parseable 24-bit WAV; /healthz counts."""
+    from matcha_tpu.serve import make_http_server
+
+    server = make_http_server(batcher, "127.0.0.1", 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"text": "hello from the server"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesise", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/wav"
+            assert float(resp.headers["X-Latency-Ms"]) > 0
+            wav_data = resp.read()
+        with wave.open(io.BytesIO(wav_data)) as f:
+            assert f.getnchannels() == 1
+            assert f.getsampwidth() == 3
+            assert f.getframerate() == 22050
+            assert f.getnframes() > 0
+
+        # JSON metadata mode
+        body = json.dumps({"text": "again", "format": "json"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesise", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            meta = json.loads(resp.read())
+        assert meta["n_samples"] > 0 and meta["rtf"] > 0
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok" and health["requests"] >= 2
+
+        # malformed request -> 400, server stays alive
+        bad = urllib.request.Request(f"http://127.0.0.1:{port}/synthesise", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_parse_warmup():
+    from matcha_tpu.serve import _parse_warmup
+
+    assert _parse_warmup("128:512,256:1024") == [(128, 512), (256, 1024)]
+    assert _parse_warmup("") == []

@@ -350,6 +350,16 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     enable_compilation_cache()
     assert jax.config.jax_compilation_cache_dir == str(target)
 
+    # Regression: with NO env var the default user-dir path must still
+    # enable (str(None)=="none" once matched the off-switch list and
+    # silently disabled the cache for every entry point).
+    monkeypatch.delenv("MATCHA_COMPILATION_CACHE")
+    default_dir = tmp_path / "default_home"
+    monkeypatch.setenv("MATCHA_HOME", str(default_dir))
+    enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir != str(target)
+    assert "xla_cache" in jax.config.jax_compilation_cache_dir
+
 
 def test_callbacks_none_and_model_summary(tmp_path, datamodule):
     """`callbacks=none` disables checkpoint writing (reference
@@ -395,3 +405,27 @@ def test_callbacks_config_group_composition():
 
     cfg2 = compose("train", overrides=["callbacks=none"])
     assert not dict(cfg2.get("callbacks") or {})
+
+
+def test_trainer_devices_cap(datamodule):
+    """trainer.devices (reference configs/trainer/*.yaml) caps the mesh."""
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.trainer import Trainer
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=32, enc_filter_channels=64,
+        enc_filter_channels_dp=32, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(32, 32), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16,
+    )
+    trainer = Trainer(model=MatchaTTS(**tiny), datamodule=datamodule,
+                      devices=2, log_validation_images=False)
+    assert trainer.mesh.devices.size <= 2
+
+    from matcha_tpu.utils.config import compose
+
+    cfg = compose("train", overrides=["trainer=ddp"])
+    assert cfg["trainer"]["devices"] == "all"
+    cfg_cpu = compose("train", overrides=["trainer=cpu"])
+    assert cfg_cpu["trainer"]["accelerator"] == "cpu"
+    assert cfg_cpu["trainer"]["devices"] == 1
