@@ -162,10 +162,18 @@ class BatchingServer:
                         r.done.set()
 
     def _run(self, reqs, rate, spk):
-        B = len(reqs)
+        # Pad the batch dim to a power of two: merged batches can arrive at
+        # any size 1..max_batch, and every distinct (B, T_x bucket) is a
+        # separate XLA compile. Power-of-2 B-buckets bound the compile
+        # surface to log2(max_batch)+1 shapes per x-bucket; dummy rows
+        # (length 1, all-pad tokens) are sliced off after the dispatch.
+        B_real = len(reqs)
+        B = 1
+        while B < B_real:
+            B *= 2
         T = max(len(r.seq) for r in reqs)
         x = np.zeros((B, T), np.int32)  # synthesise_batch pads to the x-bucket
-        xl = np.zeros((B,), np.int32)
+        xl = np.ones((B,), np.int32)
         for i, r in enumerate(reqs):
             x[i, : len(r.seq)] = r.seq
             xl[i] = len(r.seq)
@@ -188,10 +196,16 @@ class BatchingServer:
 
     # -- warmup ------------------------------------------------------------
     def warmup(self, pairs):
-        """Pre-compile (T_x, T_y) graph pairs: one dummy batch per pair per
-        batch size 1 and max_batch (the two shapes serving actually hits)."""
+        """Pre-compile (T_x, T_y) graph pairs at every power-of-2 batch
+        size up to max_batch — exactly the (B, shape) set `_run`'s
+        batch-dim padding can produce."""
+        sizes = {1}
+        b = 1
+        while b < self.max_batch:
+            b *= 2
+            sizes.add(b)
         for T_x, T_y in pairs:
-            for B in {1, self.max_batch}:
+            for B in sorted(sizes):
                 x = np.ones((B, T_x), np.int32)
                 xl = np.full((B,), T_x, np.int32)
                 mu_x, w_ceil, y_lengths = self.pipeline._encode_fn(T_x, self.default_rate)(
@@ -242,8 +256,12 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
             except (KeyError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
-            req = batcher.submit(text, payload.get("speaking_rate"),
-                                 payload.get("spk"))
+            try:
+                req = batcher.submit(text, payload.get("speaking_rate"),
+                                     payload.get("spk"))
+            except Exception as e:  # cleaner/frontend rejects the text
+                self._json(400, {"error": f"text processing failed: {e}"})
+                return
             if req.error:
                 self._json(500, {"error": req.error})
                 return

@@ -1,0 +1,110 @@
+"""Offered-load benchmark for the matcha-serve daemon (serve.py).
+
+Drives the in-process BatchingServer (no HTTP overhead; the daemon's
+request path minus the socket) with N concurrent client threads issuing
+back-to-back requests for a fixed duration, and reports:
+
+  * request throughput (req/s) and audio throughput (x realtime)
+  * per-request latency p50/p90/p99
+  * achieved batch occupancy (requests / device dispatches)
+
+This answers the serving question the one-shot bench.py cannot: how the
+micro-batching window trades latency for throughput under load.
+
+Run on the TPU:
+  python scripts/bench_serve.py [--clients 8] [--duration 30]
+                                [--window-ms 10] [--max-batch 8]
+"""
+
+import argparse
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SENTENCES = [
+    "The quick brown fox jumps over the lazy dog.",
+    "A TPU chip multiplies matrices in a systolic array.",
+    "Flow matching learns a straight path from noise to data.",
+    "The weather tomorrow will be partly cloudy with light winds.",
+    "Speech synthesis has improved dramatically in recent years.",
+    "Please confirm the reservation for four people at seven.",
+    "Monotonic alignment search finds the best path through the grid.",
+    "This sentence exists to vary the token length distribution a bit more.",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--window-ms", type=float, default=10.0)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    from bench import build_pipeline  # random weights; identical compute cost
+    from matcha_tpu.serve import BatchingServer
+
+    pipeline = build_pipeline()
+    pipeline.cleaner = "english_cleaners_no_espeak"
+    batcher = BatchingServer(pipeline, max_batch=args.max_batch,
+                             batch_window_ms=args.window_ms,
+                             n_timesteps=args.steps, default_rate=3.5)
+    # Warm through the REAL request path: sequential (B=1 shapes) then
+    # fully-concurrent rounds (merged power-of-2 batch shapes), so the
+    # timed window hits only compiled graphs.
+    print("warming (sequential)...", flush=True)
+    for s in SENTENCES:
+        batcher.submit(s, timeout_s=1200.0)
+    for round_i in range(2):
+        print(f"warming (concurrent round {round_i})...", flush=True)
+        ws = [threading.Thread(target=batcher.submit, args=(s, None, None, 1200.0))
+              for s in SENTENCES[: args.clients]]
+        for t in ws:
+            t.start()
+        for t in ws:
+            t.join()
+
+    lat_ms, audio_s = [], []
+    lock = threading.Lock()
+    stop = time.perf_counter() + args.duration
+    n0_batches, n0_reqs = batcher.n_batches, batcher.n_requests
+
+    def client(ci):
+        rng = np.random.default_rng(ci)
+        while time.perf_counter() < stop:
+            s = SENTENCES[rng.integers(0, len(SENTENCES))]
+            t0 = time.perf_counter()
+            r = batcher.submit(s, timeout_s=600.0)
+            t1 = time.perf_counter()
+            if r.error:
+                raise RuntimeError(r.error)
+            with lock:
+                lat_ms.append((t1 - t0) * 1e3)
+                audio_s.append(len(r.wav) / 22050.0)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(args.clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    n_req = len(lat_ms)
+    n_disp = batcher.n_batches - n0_batches
+    print(f"clients={args.clients} window={args.window_ms}ms max_batch={args.max_batch}")
+    print(f"requests: {n_req} in {wall:.1f}s -> {n_req/wall:.1f} req/s")
+    print(f"audio throughput: {sum(audio_s)/wall:.1f}x realtime")
+    print(f"latency p50/p90/p99: {np.percentile(lat_ms,50):.1f} / "
+          f"{np.percentile(lat_ms,90):.1f} / {np.percentile(lat_ms,99):.1f} ms")
+    print(f"batch occupancy: {n_req}/{n_disp} dispatches = {n_req/max(n_disp,1):.2f} req/dispatch")
+
+
+if __name__ == "__main__":
+    main()
