@@ -50,6 +50,12 @@ SINGLESPEAKER_MODEL = {"matcha_ljspeech": {"vocoder": "hifigan_T2_v1", "speaking
 
 X_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
 Y_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+# Finer buckets for the vocoder stage: the decoder needs coarse buckets
+# (each (T_x, T_y) pair is an expensive U-Net compile), but the vocoder
+# jit depends only on the mel length, so it can run on a 128-frame grid —
+# the decode bucket's padding tail (~20-40% of frames on real length
+# distributions) is sliced off before the most expensive stage.
+VOC_BUCKETS = tuple(range(128, 2049, 128))
 
 
 def pick_bucket(n: int, buckets) -> int:
@@ -72,10 +78,16 @@ def process_text(i: int, text: str, cleaner: str = "english_cleaners2"):
 class TTSPipeline:
     """Bucketed, jit-cached synthesis engine (model + vocoder + denoiser)."""
 
+    # Halo (mel frames) for chunked vocoding: must cover the generator's
+    # receptive field (~17 frames for HiFi-GAN v1: conv_pre 3 + per-stage
+    # MRF fields shrinking with the upsample rate + conv_post). 32 gives
+    # 2x margin; tests/test_cli_e2e.py checks chunked == full output.
+    VOC_CHUNK_HALO = 32
+
     def __init__(self, model, params, vocoder=None, vocoder_params=None,
                  denoiser_bias=None, cleaner: str = "english_cleaners2",
                  vocoder_bf16: bool = False, vocoder_pallas: bool = True,
-                 mesh=None):
+                 mesh=None, vocoder_chunk: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -111,6 +123,12 @@ class TTSPipeline:
         self.params = params
         self.vocoder_params = vocoder_params
         self.denoiser_bias = denoiser_bias
+        # Time-chunked vocoding (CLI --vocoder-chunk N): run the generator
+        # on N-frame mel windows with a receptive-field halo instead of the
+        # whole utterance, bounding its activation memory (the 512-channel
+        # upsample stages at 256x sample rate are what exhausts HBM at
+        # large B x T_y). 0 = off.
+        self.vocoder_chunk = int(vocoder_chunk)
         self.cleaner = cleaner
         self._encode_cache = {}
         self._decode_cache = {}
@@ -172,20 +190,47 @@ class TTSPipeline:
         """The mel->wav callable: Pallas-fused MRF path (default on TPU,
         large batches) or the flax/XLA conv path (CPU, small batches, or
         --no-pallas-vocoder). The choice is made per static mel shape at
-        trace time, so every jit cache entry gets the faster path."""
+        trace time, so every jit cache entry gets the faster path.
+        With ``vocoder_chunk`` set, the generator runs on halo-padded mel
+        windows chained sequentially (optimization_barrier), so peak
+        activation memory is one window instead of the whole utterance."""
         if self.vocoder_pallas and self.jax.default_backend() == "tpu":
             from matcha_tpu.models.hifigan_pallas import generator_apply_pallas
 
             h = self.vocoder.config
             flax_apply = self.vocoder.apply
 
-            def apply(vp, mel):
+            def base_apply(vp, mel):
                 if mel.shape[0] * mel.shape[1] >= self.PALLAS_MIN_MEL_FRAMES:
                     return generator_apply_pallas(vp, h, mel)
                 return flax_apply(vp, mel)
+        else:
+            base_apply = self.vocoder.apply
 
-            return apply
-        return self.vocoder.apply
+        chunk, halo = self.vocoder_chunk, self.VOC_CHUNK_HALO
+        if not chunk:
+            return base_apply
+        jnp, lax = self.jax.numpy, self.jax.lax
+        up = 256  # total upsample factor (samples per mel frame)
+
+        def chunked_apply(vp, mel):
+            T = mel.shape[1]
+            if T <= chunk + halo:
+                return base_apply(vp, mel)
+            outs = []
+            for s in range(0, T, chunk):
+                e = min(s + chunk, T)
+                s0, e0 = max(0, s - halo), min(T, e + halo)
+                m = mel[:, s0:e0]
+                if outs:
+                    # serialize the windows so XLA cannot materialize all
+                    # their activations at once (the memory win)
+                    m, _ = lax.optimization_barrier((m, outs[-1]))
+                w = base_apply(vp, m)
+                outs.append(w[:, (s - s0) * up : (s - s0 + e - s) * up])
+            return jnp.concatenate(outs, axis=1)
+
+        return chunked_apply
 
     def _vocode_fn(self):
         """One jitted mel->wav stage: vocoder + clip + denoiser. Keeping
@@ -278,13 +323,17 @@ class TTSPipeline:
         mu_x, w_ceil, y_lengths = self._encode_fn(T_x, length_scale)(
             self.params, x_pad, x_lengths, spks_j
         )
-        T_y = pick_bucket(int(y_lengths.max()), Y_BUCKETS)  # one tiny host sync
+        max_y = int(y_lengths.max())  # one tiny host sync
+        T_y = pick_bucket(max_y, Y_BUCKETS)
         out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
             self.params, mu_x, w_ceil, x_lengths, y_lengths, key, spks=spks_j
         )
 
         if self.vocoder is not None:
-            mel_btc = jnp.swapaxes(out["mel"], 1, 2)  # (B, T_y, 80)
+            # Vocode only up to the finer VOC_BUCKET: the decode bucket's
+            # padding tail never reaches the (dominant-cost) vocoder.
+            T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
+            mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]  # (B, T_voc, 80)
             out["waveform"] = self._vocode_fn()(
                 self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
             )
@@ -346,13 +395,16 @@ class TTSPipeline:
 
         # stage 3: decode + vocode per batch; mel bucket known host-side
         for bi, (chunk, T_x, mu_x, w_ceil, x_lengths, y_lengths, spks_j) in enumerate(encoded):
-            T_y = pick_bucket(int(y_host[bi].max()), Y_BUCKETS)
+            max_y = int(y_host[bi].max())
+            T_y = pick_bucket(max_y, Y_BUCKETS)
             out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
                 self.params, mu_x, w_ceil, x_lengths, y_lengths,
                 jax.random.fold_in(key, bi), spks=spks_j,
             )
             if self.vocoder is not None:
-                mel_btc = jnp.swapaxes(out["mel"], 1, 2)
+                # finer vocoder bucket — see synthesise_batch
+                T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
+                mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]
                 out["waveform"] = self._vocode_fn()(
                     self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
                 )
@@ -699,6 +751,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~20%% faster, ~1e-3 wav deviation)")
     parser.add_argument("--no-pallas-vocoder", action="store_true", help="disable the Pallas-fused MRF vocoder kernel (default on: ~2.2x faster, ~3e-4 wav deviation)")
     parser.add_argument("--data-parallel", action="store_true", help="shard batches over ALL attached devices (data-parallel SPMD serving; params replicate once, each jit stage runs partitioned). Pick --batch_size a multiple of the device count.")
+    parser.add_argument("--vocoder-chunk", type=int, default=0, help="run the vocoder on N-frame mel windows (receptive-field halo, sequential) to bound its activation memory — enables larger --batch_size x mel-bucket products. 0 = whole-utterance (default).")
     return parser
 
 
@@ -741,7 +794,8 @@ def cli(argv=None):
 
     pipeline = TTSPipeline(model, params, vocoder, vocoder_params, bias,
                            cleaner=args.cleaner, vocoder_bf16=args.bf16_vocoder,
-                           vocoder_pallas=not args.no_pallas_vocoder, mesh=mesh)
+                           vocoder_pallas=not args.no_pallas_vocoder, mesh=mesh,
+                           vocoder_chunk=args.vocoder_chunk)
     pipeline.denoiser_strength = args.denoiser_strength
 
     texts = get_texts(args)

@@ -315,6 +315,7 @@ def build_parser():
     p.add_argument("--bf16-vocoder", action="store_true")
     p.add_argument("--no-pallas-vocoder", action="store_true")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--vocoder-chunk", type=int, default=0)
     return p
 
 
@@ -347,7 +348,8 @@ def main(argv=None):
         mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
     pipeline = TTSPipeline(model, params, vocoder, vocoder_params, bias,
                            cleaner=args.cleaner, vocoder_bf16=args.bf16_vocoder,
-                           vocoder_pallas=not args.no_pallas_vocoder, mesh=mesh)
+                           vocoder_pallas=not args.no_pallas_vocoder, mesh=mesh,
+                           vocoder_chunk=args.vocoder_chunk)
     batcher = BatchingServer(pipeline, max_batch=args.max_batch,
                              batch_window_ms=args.batch_window_ms,
                              n_timesteps=args.steps, temperature=args.temperature,

@@ -273,3 +273,37 @@ def test_data_parallel_serving_matches_single_device(fabricated_ckpts, monkeypat
     ref3 = single.synthesise_batch(x[:3], xl[:3], key, n_timesteps=2)
     np.testing.assert_allclose(np.asarray(out3["mel"]), np.asarray(ref3["mel"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_vocoder_matches_full(fabricated_ckpts, monkeypatch):
+    """--vocoder-chunk windows (halo-padded, sequentially chained) produce
+    the same waveform as whole-utterance vocoding: the halo covers the
+    generator's receptive field, edge chunks keep true zero-pad edges."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder
+
+    model, params = load_matcha(
+        "matcha_ljspeech", os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    )
+    vocoder, voc_params, bias = load_vocoder(
+        "hifigan_T2_v1", os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    )
+    full = TTSPipeline(model, params, vocoder, voc_params, None,
+                       cleaner="english_cleaners_no_espeak")
+    chunked = TTSPipeline(model, params, vocoder, voc_params, None,
+                          cleaner="english_cleaners_no_espeak", vocoder_chunk=48)
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(1, 178, size=(2, 60)).astype(np.int32)
+    xl = np.asarray([60, 41], np.int32)
+    key = jax.random.PRNGKey(7)
+
+    # long enough mel that chunking actually splits (>=3 windows of 48)
+    ref = full.synthesise_batch(x, xl, key, n_timesteps=2, length_scale=3.0)
+    out = chunked.synthesise_batch(x, xl, key, n_timesteps=2, length_scale=3.0)
+    w_ref, w_out = np.asarray(ref["waveform"]), np.asarray(out["waveform"])
+    assert w_ref.shape == w_out.shape
+    assert w_ref.shape[1] >= 3 * 48 * 256, "test mel too short to exercise chunking"
+    np.testing.assert_allclose(w_out, w_ref, rtol=1e-5, atol=1e-5)
