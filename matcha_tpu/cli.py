@@ -99,8 +99,9 @@ class TTSPipeline:
         # the XLA conv path on v5e, waveform deviation ~3e-4.
         self.vocoder_pallas = vocoder_pallas
         if vocoder_params is not None and vocoder_bf16:
-            # bf16 vocoder weights: ~20% faster (bandwidth-bound MRF), max
-            # waveform deviation ~1e-3 (PERFORMANCE.md).
+            # bf16 vocoder weights (~1e-3 wav deviation). A win ONLY on the
+            # plain XLA conv path; composed with the Pallas MRF stages the
+            # dtype churn makes it several times slower (PERFORMANCE.md).
             vocoder_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), vocoder_params)
         # Multi-chip data-parallel serving (CLI --data-parallel): params
         # replicate once onto the mesh, every batch shards its leading axis
@@ -748,7 +749,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--staged", action="store_true", help="With --batched: staged corpus serving — dispatch every batch's encoder pass first, fetch all predicted mel lengths in one host transfer, then decode+vocode per bucket (highest filelist throughput).")
     parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
     parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
-    parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~20%% faster, ~1e-3 wav deviation)")
+    parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~1e-3 wav deviation). Only useful with --no-pallas-vocoder: the Pallas MRF stages compute f32 in VMEM, and the dtype churn between stages makes the composite several times SLOWER than plain f32+Pallas (PERFORMANCE.md)")
     parser.add_argument("--no-pallas-vocoder", action="store_true", help="disable the Pallas-fused MRF vocoder kernel (default on: ~2.2x faster, ~3e-4 wav deviation)")
     parser.add_argument("--data-parallel", action="store_true", help="shard batches over ALL attached devices (data-parallel SPMD serving; params replicate once, each jit stage runs partitioned). Pick --batch_size a multiple of the device count.")
     parser.add_argument("--vocoder-chunk", type=int, default=0, help="run the vocoder on N-frame mel windows (receptive-field halo, sequential) to bound its activation memory — enables larger --batch_size x mel-bucket products. 0 = whole-utterance (default).")

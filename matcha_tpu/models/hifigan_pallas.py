@@ -112,6 +112,14 @@ def generator_apply_pallas(
             x = _xla_mrf_stage(x, blocks, h)
             continue
         weights = mrf_weights_from_params(blocks, n_dil=len(h.resblock_dilation_sizes[0]))
+        # The Pallas stage computes in f32 VMEM regardless of the serving
+        # dtype: Mosaic cannot lower sub-32-bit minor-dim broadcasts (the
+        # bias add), and in-kernel bf16 measured no faster anyway (the
+        # stage is layout/DMA-bound, not MXU-bound — PERFORMANCE.md). With
+        # --bf16-vocoder, only the XLA stages (conv_pre, upsamples, wide
+        # MRFs, conv_post) keep the bf16 bandwidth saving.
+        act_dtype = x.dtype
+        weights = tuple(w.astype(jnp.float32) for w in weights)
         # Pallas stage runs (C, T) lane-major
         x_cf = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
         x_cf = fused_mrf_stage(
@@ -121,7 +129,7 @@ def generator_apply_pallas(
             t_tile=t_tile or pick_t_tile(C), interpret=interpret,
             compute_dtype=compute_dtype,
         )
-        x = jnp.swapaxes(x_cf, 1, 2)
+        x = jnp.swapaxes(x_cf, 1, 2).astype(act_dtype)
     x = _leaky(x, 0.01)  # torch default slope before conv_post (models.py:193)
     x = _conv1d(x, p["conv_post"]["conv"]["kernel"], p["conv_post"]["conv"]["bias"], padding=3)
     return jnp.tanh(x)

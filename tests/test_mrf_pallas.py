@@ -56,3 +56,25 @@ def test_generator_apply_pallas_matches_flax(rng):
     got_fb = np.asarray(generator_apply_pallas(params, h, mel, t_tile=128,
                                                interpret=True, max_pallas_channels=16))
     np.testing.assert_allclose(got_fb, ref, atol=1e-5)
+
+
+def test_generator_apply_pallas_bf16_params(rng):
+    """bf16 serving params (--bf16-vocoder) through the Pallas path: the
+    fused stage casts weights/activations to f32 internally (Mosaic cannot
+    lower bf16 minor-dim broadcasts), XLA stages stay bf16. Regression for
+    a Mosaic compile failure when both flags were combined."""
+    h = HiFiGANConfig(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=64, resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3, num_mels=80,
+    )
+    gen = Generator(h)
+    mel = jnp.asarray(rng.normal(size=(1, 40, 80)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    ref = np.asarray(gen.apply(params, mel))
+
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    got = np.asarray(generator_apply_pallas(p16, h, mel.astype(jnp.bfloat16),
+                                            t_tile=128, interpret=True)).astype(np.float32)
+    # bf16 path: ~1e-2-scale deviation on tanh output is expected
+    np.testing.assert_allclose(got, ref, atol=5e-2)
