@@ -119,6 +119,27 @@ class BatchingServer:
             req.error = "timeout"
         return req
 
+    def submit_long(self, text: str, speaking_rate: float | None = None,
+                    spk: int | None = None, timeout_s: float = 600.0,
+                    max_chars: int = 200):
+        """Long-form synthesis: sentence-chunk the text and submit every
+        chunk CONCURRENTLY — the batching window merges a single long
+        request's chunks into full device batches (the long-form analog
+        of CLI --long-form, but batched instead of sequential). Returns
+        the ordered list of per-chunk requests.
+
+        ``max_chars`` is smaller than the CLI's 500: shorter chunks mean
+        more of them, which is what lets one request fill a batch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from matcha_tpu.text.segment import split_sentences
+
+        chunks = split_sentences(text, max_chars=max_chars)
+        with ThreadPoolExecutor(max_workers=max(1, len(chunks))) as ex:
+            futs = [ex.submit(self.submit, c, speaking_rate, spk, timeout_s)
+                    for c in chunks]
+            return [f.result() for f in futs]
+
     def shutdown(self):
         self._stop.set()
         self._q.put(None)  # unblock the worker
@@ -246,7 +267,7 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/synthesise":
+            if self.path not in ("/synthesise", "/synthesise_long"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -257,8 +278,20 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                req = batcher.submit(text, payload.get("speaking_rate"),
-                                     payload.get("spk"))
+                if self.path == "/synthesise_long":
+                    reqs = batcher.submit_long(text, payload.get("speaking_rate"),
+                                               payload.get("spk"),
+                                               max_chars=int(payload.get("max_chars", 200)))
+                    err = next((r.error for r in reqs if r.error), None)
+                    if err:
+                        self._json(500, {"error": err})
+                        return
+                    req = reqs[0]
+                    req.wav = np.concatenate([r.wav for r in reqs])
+                    req.t_done = max(r.t_done for r in reqs)
+                else:
+                    req = batcher.submit(text, payload.get("speaking_rate"),
+                                         payload.get("spk"))
             except Exception as e:  # cleaner/frontend rejects the text
                 self._json(400, {"error": f"text processing failed: {e}"})
                 return

@@ -131,3 +131,29 @@ def test_parse_warmup():
 
     assert _parse_warmup("128:512,256:1024") == [(128, 512), (256, 1024)]
     assert _parse_warmup("") == []
+
+
+def test_long_form_endpoint_merges_chunks(batcher):
+    """POST /synthesise_long sentence-chunks the text, the chunks merge
+    into device batches via the window, and the wav concatenates."""
+    from matcha_tpu.serve import make_http_server
+
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        text = ("This is the first sentence. Here comes a second one! "
+                "And finally a third, slightly longer sentence?")
+        n0 = batcher.n_batches
+        body = json.dumps({"text": text, "format": "json", "max_chars": 30}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesise_long", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            meta = json.loads(resp.read())
+        assert meta["n_samples"] > 0
+        # 3 chunks merged into at most 2 dispatches (window=200ms, max_batch=4)
+        assert batcher.n_batches - n0 <= 2
+        assert batcher.n_requests >= 3
+    finally:
+        server.shutdown()
