@@ -130,18 +130,21 @@ def run_latency(pipeline, key, n_calls: int = 30):
     x_lengths = np.asarray([110], np.int32)
 
     def call(i):
+        # fixed_y_bucket is a user-chosen static mel length; 448 is the
+        # tightest 64-multiple covering this sentence's ~385 predicted
+        # frames (512 padded ~25% of decode+vocoder work away).
         out = pipeline.synthesise_batch(
             x, x_lengths, jax.random.fold_in(key, 1000 + i),
             n_timesteps=N_STEPS, temperature=TEMPERATURE,
-            length_scale=LENGTH_SCALE, fixed_y_bucket=512,
+            length_scale=LENGTH_SCALE, fixed_y_bucket=448,
         )
         return float(out["waveform"][0, 0])  # per-call fetch forces completion
 
-    call(-1)  # warm the fused (T_x=128, T_y=512) compile
+    call(0)  # warm the fused (T_x=128, T_y=448) compile
     times = []
     for i in range(n_calls):
         t0 = time.perf_counter()
-        call(i)
+        call(1 + i)  # distinct fold per call (identical calls get deduped)
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.percentile(times, 50)), float(np.percentile(times, 90))
 
