@@ -177,7 +177,7 @@ def main() -> None:
         "p50_single_sentence_latency_ms": round(p50, 2),
         "p90_single_sentence_latency_ms": round(p90, 2),
         "latency_target_ms": 50.0,
-        "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via fused --fixed-y-bucket graph",
+        "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets + finer vocoder buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via fused --fixed-y-bucket 448 graph",
     }))
 
 

@@ -307,3 +307,23 @@ def test_chunked_vocoder_matches_full(fabricated_ckpts, monkeypatch):
     assert w_ref.shape == w_out.shape
     assert w_ref.shape[1] >= 3 * 48 * 256, "test mel too short to exercise chunking"
     np.testing.assert_allclose(w_out, w_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bucket_tables_and_voc_pick():
+    """Bucket invariants the vocoder-stage slicing relies on: every decode
+    bucket is a multiple of 128 (so the finer VOC_BUCKETS pick never
+    exceeds it), pick_bucket covers beyond-table lengths, and the vocoder
+    bucket always covers the true max mel length."""
+    from matcha_tpu.cli import VOC_BUCKETS, X_BUCKETS, Y_BUCKETS, pick_bucket
+
+    assert all(b % 128 == 0 for b in Y_BUCKETS)
+    assert VOC_BUCKETS == tuple(range(128, 2049, 128))
+
+    for max_y in (1, 100, 128, 129, 385, 768, 2048, 2049, 5000):
+        T_y = pick_bucket(max_y, Y_BUCKETS)
+        T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
+        assert max_y <= T_voc <= T_y or T_voc == T_y  # covers content, never exceeds decode
+        assert T_voc >= min(max_y, T_y)
+    # beyond the table: rounds up to 64
+    assert pick_bucket(2049, Y_BUCKETS) == 2112
+    assert pick_bucket(30, X_BUCKETS) == 32
