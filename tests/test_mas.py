@@ -115,3 +115,25 @@ def test_full_mask_path_shape(rng):
     mask[:] = 1.0  # t_x == t_y: diagonal path forced
     got = np.asarray(maximum_path(jnp.asarray(value), jnp.asarray(mask)))
     np.testing.assert_array_equal(got[0], np.eye(5, dtype=np.float32))
+
+
+def test_single_token_rows(rng):
+    """t_x=1 (one-phoneme utterance): every active frame must map to
+    token 0 — a real serving case for very short inputs, and a classic
+    off-by-one trap in the DP band bounds."""
+    B, T_x, T_y = 3, 6, 12
+    value = rng.normal(size=(B, T_x, T_y)).astype(np.float32)
+    t_xs = np.array([1, 1, 3])
+    t_ys = np.array([1, 7, 12])
+    mask = (
+        (np.arange(T_x)[None, :, None] < t_xs[:, None, None])
+        & (np.arange(T_y)[None, None, :] < t_ys[:, None, None])
+    ).astype(np.float32)
+    expected = oracle(value, mask)
+    assert_valid_path(expected, mask)
+    np.testing.assert_array_equal(
+        np.asarray(maximum_path_jax(jnp.asarray(value), jnp.asarray(mask))), expected)
+    np.testing.assert_array_equal(maximum_path_numpy(value, mask), expected)
+    # rows with t_x=1: all frames on token 0
+    assert expected[0, 0, 0] == 1 and expected[0].sum() == 1
+    assert (expected[1, 0, :7] == 1).all()
