@@ -44,19 +44,38 @@ SR = 22050
 HOP = 256
 
 
-def wav_bytes(audio: np.ndarray, sample_rate: int = SR) -> bytes:
-    """Mono 24-bit PCM WAV in memory (same encoding as utils.write_wav)."""
+def pcm24(audio: np.ndarray) -> bytes:
+    """Mono float waveform -> 24-bit little-endian PCM frames."""
     clipped = np.clip(np.asarray(audio, np.float32).squeeze(), -1.0, 1.0)
     scaled = (clipped * (2**23 - 1)).astype(np.int32)
     raw = scaled.astype("<i4").tobytes()
-    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
+
+
+def wav_bytes(audio: np.ndarray, sample_rate: int = SR) -> bytes:
+    """Mono 24-bit PCM WAV in memory (same encoding as utils.write_wav)."""
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(3)
         f.setframerate(sample_rate)
-        f.writeframes(b)
+        f.writeframes(pcm24(audio))
     return buf.getvalue()
+
+
+def wav_stream_header(sample_rate: int = SR, sampwidth: int = 3) -> bytes:
+    """A WAV header with unknown-length placeholder sizes (0x7FFFFFFF) —
+    the standard trick for live WAV-over-HTTP streams; players read PCM
+    until the connection closes."""
+    import struct
+
+    byte_rate = sample_rate * sampwidth
+    return (
+        b"RIFF" + struct.pack("<I", 0x7FFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                byte_rate, sampwidth, 8 * sampwidth)
+        + b"data" + struct.pack("<I", 0x7FFFFFFF)
+    )
 
 
 @dataclass
@@ -102,8 +121,9 @@ class BatchingServer:
         self._thread.start()
 
     # -- client side -------------------------------------------------------
-    def submit(self, text: str, speaking_rate: float | None = None,
-               spk: int | None = None, timeout_s: float = 120.0) -> _Request:
+    def _enqueue(self, text: str, speaking_rate: float | None,
+                 spk: int | None) -> _Request:
+        """Phonemize and queue without waiting (streaming building block)."""
         from matcha_tpu.text import text_to_sequence
         from matcha_tpu.utils.utils import intersperse
 
@@ -115,9 +135,30 @@ class BatchingServer:
         )
         self.n_requests += 1
         self._q.put(req)
+        return req
+
+    def submit(self, text: str, speaking_rate: float | None = None,
+               spk: int | None = None, timeout_s: float = 120.0) -> _Request:
+        req = self._enqueue(text, speaking_rate, spk)
         if not req.done.wait(timeout_s):
             req.error = "timeout"
         return req
+
+    def submit_stream(self, text: str, speaking_rate: float | None = None,
+                      spk: int | None = None, timeout_s: float = 600.0,
+                      max_chars: int = 200):
+        """Streaming long-form synthesis: enqueue every sentence chunk at
+        once (they merge into device batches), then yield each chunk's
+        completed request IN ORDER as it finishes — time-to-first-audio is
+        one dispatch, not the whole article."""
+        from matcha_tpu.text.segment import split_sentences
+
+        chunks = split_sentences(text, max_chars=max_chars)
+        reqs = [self._enqueue(c, speaking_rate, spk) for c in chunks]
+        for r in reqs:
+            if not r.done.wait(timeout_s):
+                r.error = "timeout"
+            yield r
 
     def submit_long(self, text: str, speaking_rate: float | None = None,
                     spk: int | None = None, timeout_s: float = 600.0,
@@ -130,15 +171,8 @@ class BatchingServer:
 
         ``max_chars`` is smaller than the CLI's 500: shorter chunks mean
         more of them, which is what lets one request fill a batch."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        from matcha_tpu.text.segment import split_sentences
-
-        chunks = split_sentences(text, max_chars=max_chars)
-        with ThreadPoolExecutor(max_workers=max(1, len(chunks))) as ex:
-            futs = [ex.submit(self.submit, c, speaking_rate, spk, timeout_s)
-                    for c in chunks]
-            return [f.result() for f in futs]
+        return list(self.submit_stream(text, speaking_rate, spk, timeout_s,
+                                       max_chars=max_chars))
 
     def shutdown(self):
         self._stop.set()
@@ -266,8 +300,26 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
             else:
                 self._json(404, {"error": "not found"})
 
+        def _stream(self, payload, text):
+            """Live WAV stream: header immediately, 24-bit PCM per sentence
+            chunk as each device batch completes (close-delimited body)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("X-Sample-Rate", str(SR))
+            self.end_headers()
+            self.wfile.write(wav_stream_header())
+            self.wfile.flush()
+            for r in batcher.submit_stream(
+                text, payload.get("speaking_rate"), payload.get("spk"),
+                max_chars=int(payload.get("max_chars", 200)),
+            ):
+                if r.error:
+                    break  # mid-stream error: close the connection early
+                self.wfile.write(pcm24(r.wav))
+                self.wfile.flush()
+
         def do_POST(self):
-            if self.path not in ("/synthesise", "/synthesise_long"):
+            if self.path not in ("/synthesise", "/synthesise_long", "/synthesise_stream"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -276,6 +328,12 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
                 text = payload["text"]
             except (KeyError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
+                return
+            if self.path == "/synthesise_stream":
+                try:
+                    self._stream(payload, text)
+                except Exception as e:
+                    self.log_error("stream failed: %s", e)
                 return
             try:
                 if self.path == "/synthesise_long":

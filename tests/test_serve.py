@@ -157,3 +157,42 @@ def test_long_form_endpoint_merges_chunks(batcher):
         assert batcher.n_requests >= 3
     finally:
         server.shutdown()
+
+
+def test_streaming_endpoint(batcher):
+    """POST /synthesise_stream: a live WAV stream — header first, then
+    24-bit PCM per sentence chunk; total PCM matches the non-streaming
+    long-form result (durations are deterministic given params+text)."""
+    import http.client
+    import struct
+
+    from matcha_tpu.serve import make_http_server
+
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        text = ("First sentence here. Second one follows! Third ends it?")
+        body = json.dumps({"text": text, "format": "json", "max_chars": 30}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesise_long", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            expected_samples = json.loads(resp.read())["n_samples"]
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/synthesise_stream",
+                     body=json.dumps({"text": text, "max_chars": 30}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/wav"
+        assert resp.getheader("X-Sample-Rate") == "22050"
+        header = resp.read(44)
+        assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+        assert struct.unpack("<I", header[24:28])[0] == 22050  # sample rate
+        pcm = resp.read()  # until server closes the stream
+        conn.close()
+        assert len(pcm) == expected_samples * 3  # 24-bit frames
+    finally:
+        server.shutdown()
