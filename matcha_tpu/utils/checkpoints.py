@@ -364,6 +364,59 @@ def load_torch_hifigan_checkpoint(path: str) -> dict:
     return convert_hifigan_state_dict(sd)
 
 
+def convert_mpd_state_dict(sd: Dict[str, Any]) -> dict:
+    """torch MultiPeriodDiscriminator state_dict (weight-normed, the
+    reference's training form — models.py:247-273) -> flax params for
+    ``MultiPeriodDiscriminator(weight_norm=True)``.
+
+    torch Conv2d weight_v is (out, in, kh, kw); flax HWIO is
+    (kh, kw, in, out). weight_g (out, 1, 1, 1) -> (out,)."""
+    out: dict = {}
+
+    def put(prefix: str, path: str) -> None:
+        g = _np(sd[f"{prefix}.weight_g"])
+        v = _np(sd[f"{prefix}.weight_v"])
+        _set(out, f"{path}/weight_v", v.transpose(2, 3, 1, 0))
+        _set(out, f"{path}/weight_g", g.reshape(-1))
+        _set(out, f"{path}/bias", _np(sd[f"{prefix}.bias"]))
+
+    discs = sorted({int(m.group(1)) for k in sd if (m := re.match(r"discriminators\.(\d+)\.", k))})
+    for i in discs:
+        convs = sorted(
+            {int(m.group(1)) for k in sd if (m := re.match(rf"discriminators\.{i}\.convs\.(\d+)\.", k))}
+        )
+        for j in convs:
+            put(f"discriminators.{i}.convs.{j}", f"discriminators_{i}/convs_{j}")
+        put(f"discriminators.{i}.conv_post", f"discriminators_{i}/conv_post")
+    return {"params": out}
+
+
+def convert_msd_scale_state_dict(sd: Dict[str, Any], index: int) -> dict:
+    """One weight-normed MSD scale (reference ``discriminators.{index}``,
+    index >= 1 — scale 0 is spectral-normed and carries torch power-
+    iteration buffers instead) -> flax params for
+    ``DiscriminatorS(weight_norm=True)``.
+
+    torch grouped Conv1d weight_v is (out, in/groups, k); flax HIO is
+    (k, in/groups, out)."""
+    out: dict = {}
+
+    def put(prefix: str, path: str) -> None:
+        g = _np(sd[f"{prefix}.weight_g"])
+        v = _np(sd[f"{prefix}.weight_v"])
+        _set(out, f"{path}/weight_v", v.transpose(2, 1, 0))
+        _set(out, f"{path}/weight_g", g.reshape(-1))
+        _set(out, f"{path}/bias", _np(sd[f"{prefix}.bias"]))
+
+    convs = sorted(
+        {int(m.group(1)) for k in sd if (m := re.match(rf"discriminators\.{index}\.convs\.(\d+)\.", k))}
+    )
+    for j in convs:
+        put(f"discriminators.{index}.convs.{j}", f"convs_{j}")
+    put(f"discriminators.{index}.conv_post", "conv_post")
+    return {"params": out}
+
+
 # ---------------------------------------------------------------------------
 # native (orbax) checkpoints
 # ---------------------------------------------------------------------------

@@ -1,0 +1,152 @@
+"""Parity against the ACTUAL reference HiFi-GAN modules (not twins).
+
+/root/reference/matcha/hifigan/{models,denoiser,config}.py import with
+only torch+matplotlib, so — like the encoder parity test — these tests
+drive the real reference classes as oracles: the full v1 generator
+(weight-normed, reference ctor init), the WaveGlow-style denoiser bias,
+and the weight-normed MPD / MSD discriminators (reference training form,
+models.py:247-334). The spectral-normed MSD scale 0 is excluded: torch
+``spectral_norm`` carries running power-iteration buffers whose exact
+eval-time semantics differ from the stateless/running-u flax variants by
+design (documented in models/hifigan.py; unit-tested separately).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if not os.path.isdir(os.path.join(REF, "matcha", "hifigan")):  # pragma: no cover
+    pytest.skip("reference checkout not present", allow_module_level=True)
+sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from matcha.hifigan.config import v1  # noqa: E402  (reference)
+from matcha.hifigan.denoiser import Denoiser as RefDenoiser  # noqa: E402
+from matcha.hifigan.env import AttrDict  # noqa: E402
+from matcha.hifigan.models import Generator as RefGenerator  # noqa: E402
+from matcha.hifigan.models import MultiPeriodDiscriminator as RefMPD  # noqa: E402
+from matcha.hifigan.models import MultiScaleDiscriminator as RefMSD  # noqa: E402
+
+from matcha_tpu.models.denoiser import compute_bias_spec  # noqa: E402
+from matcha_tpu.models.hifigan import (  # noqa: E402
+    DiscriminatorS,
+    Generator,
+    HiFiGANConfig,
+    MultiPeriodDiscriminator,
+    avg_pool1d,
+)
+from matcha_tpu.utils.checkpoints import (  # noqa: E402
+    convert_hifigan_state_dict,
+    convert_mpd_state_dict,
+    convert_msd_scale_state_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_generator():
+    torch.manual_seed(0)
+    gen = RefGenerator(AttrDict(v1)).eval()
+    return gen
+
+
+def test_generator_matches_reference(ref_generator):
+    """Full v1 generator, reference-initialised weights, folded params."""
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(2, 80, 24)).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_generator(torch.from_numpy(mel)).numpy()  # (B, 1, T)
+
+    params = convert_hifigan_state_dict(ref_generator.state_dict())
+    ours = Generator(HiFiGANConfig())
+    got = np.asarray(ours.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got[..., 0], ref[:, 0, :], atol=2e-4, rtol=0)
+
+
+def test_generator_weight_norm_form_matches_reference(ref_generator):
+    """The unfolded (g, v) training parameterisation computes the same
+    forward as the reference's weight-normed module."""
+    rng = np.random.default_rng(1)
+    mel = rng.normal(size=(1, 80, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_generator(torch.from_numpy(mel)).numpy()
+
+    params = convert_hifigan_state_dict(ref_generator.state_dict(), fold=False)
+    ours = Generator(HiFiGANConfig(), weight_norm=True)
+    got = np.asarray(ours.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got[..., 0], ref[:, 0, :], atol=2e-4, rtol=0)
+
+
+def test_denoiser_bias_matches_reference(ref_generator):
+    ref_den = RefDenoiser(ref_generator, mode="zeros")
+    ref_bias = ref_den.bias_spec.squeeze().numpy()  # (n_freq,)
+
+    params = convert_hifigan_state_dict(ref_generator.state_dict())
+    ours = Generator(HiFiGANConfig())
+    bias = np.asarray(
+        compute_bias_spec(lambda mel: ours.apply(params, mel), mode="zeros")
+    ).squeeze()
+    np.testing.assert_allclose(bias, ref_bias, atol=1e-4, rtol=0)
+
+
+def test_mpd_matches_reference():
+    """Weight-normed MPD: scores and every feature map match the
+    reference module on real+generated waveform pairs."""
+    torch.manual_seed(1)
+    ref = RefMPD().eval()
+    rng = np.random.default_rng(2)
+    y = rng.uniform(-0.8, 0.8, size=(2, 1, 4410)).astype(np.float32)
+    y_hat = rng.uniform(-0.8, 0.8, size=(2, 1, 4410)).astype(np.float32)
+    with torch.no_grad():
+        r_rs, r_gs, r_fr, r_fg = ref(torch.from_numpy(y), torch.from_numpy(y_hat))
+
+    params = convert_mpd_state_dict(ref.state_dict())
+    ours = MultiPeriodDiscriminator(weight_norm=True)
+    o_rs, o_gs, o_fr, o_fg = ours.apply(
+        params, jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y_hat.transpose(0, 2, 1))
+    )
+    assert len(o_rs) == len(r_rs) == 5
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(o_rs[i]), r_rs[i].reshape(2, -1).numpy(), atol=2e-4, rtol=0)
+        np.testing.assert_allclose(
+            np.asarray(o_gs[i]), r_gs[i].reshape(2, -1).numpy(), atol=2e-4, rtol=0)
+        assert len(o_fr[i]) == len(r_fr[i])
+        # feature maps: ours are NHWC, reference NCHW
+        for of, rf in zip(o_fr[i], r_fr[i]):
+            np.testing.assert_allclose(
+                np.asarray(of).transpose(0, 3, 1, 2), rf.numpy(), atol=2e-4, rtol=0)
+
+
+def test_msd_weight_normed_scales_match_reference():
+    """MSD scales 1 and 2 (weight-normed): scores + feature maps match,
+    including the AvgPool1d(4,2,2) mean-pooling chain."""
+    torch.manual_seed(2)
+    ref = RefMSD().eval()
+    rng = np.random.default_rng(3)
+    y = rng.uniform(-0.8, 0.8, size=(2, 1, 4410)).astype(np.float32)
+
+    y_t = torch.from_numpy(y)
+    pooled = {1: ref.meanpools[0](y_t), 2: ref.meanpools[1](ref.meanpools[0](y_t))}
+
+    y_j = jnp.asarray(y.transpose(0, 2, 1))
+    pooled_j = {1: avg_pool1d(y_j), 2: avg_pool1d(avg_pool1d(y_j))}
+    np.testing.assert_allclose(
+        np.asarray(pooled_j[1]).transpose(0, 2, 1), pooled[1].numpy(), atol=1e-6)
+
+    for idx in (1, 2):
+        with torch.no_grad():
+            r_score, r_fmap = ref.discriminators[idx](pooled[idx])
+        params = convert_msd_scale_state_dict(ref.state_dict(), idx)
+        ours = DiscriminatorS(use_spectral_norm=False, weight_norm=True)
+        o_score, o_fmap = ours.apply({"params": params["params"]}, pooled_j[idx])
+        np.testing.assert_allclose(
+            np.asarray(o_score), r_score.reshape(2, -1).numpy(), atol=2e-4, rtol=0)
+        for of, rf in zip(o_fmap, r_fmap):
+            np.testing.assert_allclose(
+                np.asarray(of).transpose(0, 2, 1), rf.numpy(), atol=2e-4, rtol=0)
