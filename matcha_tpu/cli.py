@@ -233,28 +233,33 @@ class TTSPipeline:
 
         return chunked_apply
 
+    def _vocode_tail(self):
+        """The mel(B,T,C)->wav body shared by the staged stage jit and the
+        fused graph: vocoder + clip + denoiser, all inside one trace (the
+        denoiser run eagerly becomes ~40 op-by-op dispatches through the
+        device tunnel per batch)."""
+        jnp = self.jax.numpy
+        from matcha_tpu.models.denoiser import denoise
+
+        voc_apply = self._voc_apply()
+        bias = self.denoiser_bias
+        bf16 = self.vocoder_bf16
+
+        def vocode(voc_params, mel_btc, strength):
+            if bf16:
+                mel_btc = mel_btc.astype(jnp.bfloat16)
+            wav = voc_apply(voc_params, mel_btc)[..., 0].astype(jnp.float32)
+            wav = jnp.clip(wav, -1.0, 1.0)
+            if bias is not None:
+                wav = denoise(wav, bias, strength=strength)
+            return wav
+
+        return vocode
+
     def _vocode_fn(self):
-        """One jitted mel->wav stage: vocoder + clip + denoiser. Keeping
-        the denoiser INSIDE the jit matters — run eagerly it becomes ~40
-        op-by-op dispatches through the device tunnel per batch."""
+        """One jitted mel->wav stage (see _vocode_tail)."""
         if not self._vocode_cache:
-            jnp = self.jax.numpy
-            from matcha_tpu.models.denoiser import denoise
-
-            voc_apply = self._voc_apply()
-            bias = self.denoiser_bias
-            bf16 = self.vocoder_bf16
-
-            def vocode(voc_params, mel_btc, strength):
-                if bf16:
-                    mel_btc = mel_btc.astype(jnp.bfloat16)
-                wav = voc_apply(voc_params, mel_btc)[..., 0].astype(jnp.float32)
-                wav = jnp.clip(wav, -1.0, 1.0)
-                if bias is not None:
-                    wav = denoise(wav, bias, strength=strength)
-                return wav
-
-            self._vocode_cache["fn"] = self.jax.jit(vocode)
+            self._vocode_cache["fn"] = self.jax.jit(self._vocode_tail())
         return self._vocode_cache["fn"]
 
     def _fused_fn(self, T_x: int, T_y: int, n_timesteps: int, temperature: float,
@@ -266,12 +271,9 @@ class TTSPipeline:
         cache_key = (T_x, T_y, n_timesteps, temperature, length_scale, has_spks)
         if cache_key not in self._fused_cache:
             jnp = self.jax.numpy
-            from matcha_tpu.models.denoiser import denoise
             from matcha_tpu.models.matcha import MatchaTTS
 
-            voc_apply = None if self.vocoder is None else self._voc_apply()
-            bias = self.denoiser_bias
-            bf16 = self.vocoder_bf16
+            vocode = None if self.vocoder is None else self._vocode_tail()
 
             def fused(params, voc_params, x, x_lengths, key, spks, strength):
                 out = self.model.apply(
@@ -280,15 +282,9 @@ class TTSPipeline:
                     spks=spks, length_scale=length_scale, y_max_length=T_y,
                     method=MatchaTTS.synthesise,
                 )
-                if voc_apply is not None:
-                    mel_btc = jnp.swapaxes(out["mel"], 1, 2)
-                    if bf16:
-                        mel_btc = mel_btc.astype(jnp.bfloat16)
-                    wav = voc_apply(voc_params, mel_btc)[..., 0].astype(jnp.float32)
-                    wav = jnp.clip(wav, -1.0, 1.0)
-                    if bias is not None:
-                        wav = denoise(wav, bias, strength=strength)
-                    out["waveform"] = wav
+                if vocode is not None:
+                    out["waveform"] = vocode(
+                        voc_params, jnp.swapaxes(out["mel"], 1, 2), strength)
                 return out
 
             self._fused_cache[cache_key] = self.jax.jit(fused)
@@ -342,7 +338,7 @@ class TTSPipeline:
 
     def synthesise_corpus(self, utterances, key, n_timesteps: int = 10,
                           temperature: float = 0.667, length_scale: float = 1.0,
-                          spk=None, batch_size: int = 8):
+                          spk=None, batch_size: int = 8, stage_window: int = 64):
         """Staged batched synthesis over a whole corpus (filelist serving).
 
         ``synthesise_batch`` pays one blocking host round trip per batch to
@@ -356,6 +352,11 @@ class TTSPipeline:
         Args:
             utterances: list of 1-D int32 phoneme-id arrays.
             spk: optional int speaker id (broadcast over the corpus).
+            stage_window: max batches staged at once. Stage 1 pins every
+                staged batch's encoder outputs on device until its stage-3
+                turn, so an unbounded window would grow HBM linearly with
+                the filelist; huge corpora pay one host sync per window
+                instead of one total.
 
         Yields:
             (batch_utterance_indices, out_dict) per batch, in
@@ -368,50 +369,53 @@ class TTSPipeline:
         order = sorted(range(len(utterances)), key=lambda i: len(utterances[i]))
         batches = [order[s : s + batch_size] for s in range(0, len(order), batch_size)]
 
-        # stage 1: dispatch all encoder passes; nothing blocks
-        encoded = []
-        for chunk in batches:
-            B = len(chunk)
-            T_x = pick_bucket(max(len(utterances[i]) for i in chunk), X_BUCKETS)
-            x = np.zeros((B, T_x), dtype=np.int32)
-            x_lengths = np.zeros((B,), dtype=np.int32)
-            for row, idx in enumerate(chunk):
-                x[row, : len(utterances[idx])] = utterances[idx]
-                x_lengths[row] = len(utterances[idx])
-            spks_j = None if spk is None else jnp.full((B,), int(spk), jnp.int32)
-            x_j, xl_j, spks_j = self._place(jnp.asarray(x), jnp.asarray(x_lengths), spks_j)
-            mu_x, w_ceil, y_lengths = self._encode_fn(T_x, length_scale)(
-                self.params, x_j, xl_j, spks_j
-            )
-            encoded.append((chunk, T_x, mu_x, w_ceil, xl_j,
-                            y_lengths, spks_j))
+        for w0 in range(0, len(batches), max(1, stage_window)):
+            window = batches[w0 : w0 + max(1, stage_window)]
 
-        # stage 2: ONE host transfer for every batch's mel lengths
-        # (ragged last batch -> concatenate flat, split host-side)
-        flat = np.asarray(jnp.concatenate([e[5] for e in encoded]))
-        y_host, off = [], 0
-        for chunk, *_ in encoded:
-            y_host.append(flat[off : off + len(chunk)])
-            off += len(chunk)
-
-        # stage 3: decode + vocode per batch; mel bucket known host-side
-        for bi, (chunk, T_x, mu_x, w_ceil, x_lengths, y_lengths, spks_j) in enumerate(encoded):
-            max_y = int(y_host[bi].max())
-            T_y = pick_bucket(max_y, Y_BUCKETS)
-            out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
-                self.params, mu_x, w_ceil, x_lengths, y_lengths,
-                jax.random.fold_in(key, bi), spks=spks_j,
-            )
-            if self.vocoder is not None:
-                # finer vocoder bucket — see synthesise_batch
-                T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
-                mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]
-                out["waveform"] = self._vocode_fn()(
-                    self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
+            # stage 1: dispatch the window's encoder passes; nothing blocks
+            encoded = []
+            for chunk in window:
+                B = len(chunk)
+                T_x = pick_bucket(max(len(utterances[i]) for i in chunk), X_BUCKETS)
+                x = np.zeros((B, T_x), dtype=np.int32)
+                x_lengths = np.zeros((B,), dtype=np.int32)
+                for row, idx in enumerate(chunk):
+                    x[row, : len(utterances[idx])] = utterances[idx]
+                    x_lengths[row] = len(utterances[idx])
+                spks_j = None if spk is None else jnp.full((B,), int(spk), jnp.int32)
+                x_j, xl_j, spks_j = self._place(jnp.asarray(x), jnp.asarray(x_lengths), spks_j)
+                mu_x, w_ceil, y_lengths = self._encode_fn(T_x, length_scale)(
+                    self.params, x_j, xl_j, spks_j
                 )
-            # already-fetched host lengths (decode clips to the bucket)
-            out["mel_lengths_host"] = np.minimum(y_host[bi], T_y).astype(np.int32)
-            yield chunk, out
+                encoded.append((chunk, T_x, mu_x, w_ceil, xl_j,
+                                y_lengths, spks_j))
+
+            # stage 2: ONE host transfer for the window's mel lengths
+            # (ragged last batch -> concatenate flat, split host-side)
+            flat = np.asarray(jnp.concatenate([e[5] for e in encoded]))
+            y_host, off = [], 0
+            for chunk, *_ in encoded:
+                y_host.append(flat[off : off + len(chunk)])
+                off += len(chunk)
+
+            # stage 3: decode + vocode per batch; mel bucket known host-side
+            for bi, (chunk, T_x, mu_x, w_ceil, x_lengths, y_lengths, spks_j) in enumerate(encoded):
+                max_y = int(y_host[bi].max())
+                T_y = pick_bucket(max_y, Y_BUCKETS)
+                out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
+                    self.params, mu_x, w_ceil, x_lengths, y_lengths,
+                    jax.random.fold_in(key, w0 + bi), spks=spks_j,
+                )
+                if self.vocoder is not None:
+                    # finer vocoder bucket — see synthesise_batch
+                    T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
+                    mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]
+                    out["waveform"] = self._vocode_fn()(
+                        self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
+                    )
+                # already-fetched host lengths (decode clips to the bucket)
+                out["mel_lengths_host"] = np.minimum(y_host[bi], T_y).astype(np.int32)
+                yield chunk, out
 
     denoiser_strength: float = 0.00025
 

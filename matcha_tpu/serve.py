@@ -44,12 +44,7 @@ SR = 22050
 HOP = 256
 
 
-def pcm24(audio: np.ndarray) -> bytes:
-    """Mono float waveform -> 24-bit little-endian PCM frames."""
-    clipped = np.clip(np.asarray(audio, np.float32).squeeze(), -1.0, 1.0)
-    scaled = (clipped * (2**23 - 1)).astype(np.int32)
-    raw = scaled.astype("<i4").tobytes()
-    return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
+from matcha_tpu.utils.utils import pcm24_bytes as pcm24  # shared with write_wav
 
 
 def wav_bytes(audio: np.ndarray, sample_rate: int = SR) -> bytes:
@@ -204,6 +199,13 @@ class BatchingServer:
             batch = self._take_batch()
             if not batch:
                 continue
+            # shed abandoned work: a request whose submit() already timed
+            # out has no reader — synthesizing it would spend full device
+            # dispatches on waveforms nobody fetches, so overload backlogs
+            # would never drain
+            batch = [r for r in batch if r.error is None]
+            if not batch:
+                continue
             # group by trace-constant key; typically one group
             groups: dict[tuple, list[_Request]] = {}
             for r in batch:
@@ -253,13 +255,21 @@ class BatchingServer:
     def warmup(self, pairs):
         """Pre-compile (T_x, T_y) graph pairs at every power-of-2 batch
         size up to max_batch — exactly the (B, shape) set `_run`'s
-        batch-dim padding can produce."""
+        batch-dim padding can produce. The vocoder is warmed at every
+        finer VOC_BUCKETS length that can land inside (prev Y bucket,
+        T_y] — the shapes ``synthesise_batch``'s padding-tail slicing
+        actually dispatches (a full-T_y-only warm would leave real
+        requests paying the vocoder compile)."""
+        from matcha_tpu.cli import VOC_BUCKETS, Y_BUCKETS
+
         sizes = {1}
         b = 1
         while b < self.max_batch:
             b *= 2
             sizes.add(b)
         for T_x, T_y in pairs:
+            prev_y = max([y for y in Y_BUCKETS if y < T_y], default=0)
+            voc_lens = [v for v in VOC_BUCKETS if prev_y < v <= T_y] or [T_y]
             for B in sorted(sizes):
                 x = np.ones((B, T_x), np.int32)
                 xl = np.full((B,), T_x, np.int32)
@@ -272,9 +282,10 @@ class BatchingServer:
                     self.jax.random.PRNGKey(0), spks=None)
                 if self.pipeline.vocoder is not None:
                     mel_btc = self.jax.numpy.swapaxes(out["mel"], 1, 2)
-                    self.pipeline._vocode_fn()(
-                        self.pipeline.vocoder_params, mel_btc,
-                        self.jax.numpy.float32(self.pipeline.denoiser_strength))
+                    for T_voc in voc_lens:
+                        self.pipeline._vocode_fn()(
+                            self.pipeline.vocoder_params, mel_btc[:, :T_voc],
+                            self.jax.numpy.float32(self.pipeline.denoiser_strength))
 
 
 def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int = 8080):

@@ -232,7 +232,13 @@ class TextMelDataModule:
             self.validset = TextMelDataset(self._valid_args[0], **self._valid_args[1])
 
     def _process_shard(self, n: int) -> range:
-        """Index range owned by this JAX process (multi-host sharding)."""
+        """Index range owned by this JAX process (multi-host sharding).
+
+        Every process gets EXACTLY ``n // pcount`` items (the remainder is
+        dropped, torch DistributedSampler drop_last-style): on a global
+        mesh each jitted step is a collective, so all processes MUST
+        execute the same number of steps per epoch — an extra batch on
+        one process deadlocks the others."""
         try:
             import jax
 
@@ -240,7 +246,7 @@ class TextMelDataModule:
         except Exception:  # pragma: no cover
             pid, pcount = 0, 1
         per = n // pcount
-        return range(pid * per, (pid + 1) * per if pid < pcount - 1 else n)
+        return range(pid * per, (pid + 1) * per)
 
     def train_batches(self, epoch: int = 0, limit: Optional[float] = None) -> Iterator[dict]:
         self.setup()

@@ -412,6 +412,7 @@ class Trainer:
         self.hparams = hparams or {}
         self._start_epoch = 0
         self._last_val: Dict[str, float] = {}
+        self._last_val_epoch: int = -1  # epochs_done of the last validation
 
         if detect_anomaly:
             jax.config.update("jax_debug_nans", True)
@@ -569,14 +570,16 @@ class Trainer:
             if (epoch + 1) % self.check_val_every_n_epoch == 0 or self.fast_dev_run:
                 val = self.validate(state, epoch)
                 self._last_val = val
+                self._last_val_epoch = epoch + 1  # matches _maybe_checkpoint's epochs_done
                 last_metrics.update({f"val_{k}": v for k, v in val.items()})
 
             self._maybe_checkpoint(state, epochs_done=epoch + 1)
             log.info(f"epoch {epoch} done in {time.time()-t_epoch:.1f}s")
             epoch += 1
 
-        if self.enable_checkpointing:
-            self._save(state, epoch, tag="last")
+        # 'last' is maintained by _maybe_checkpoint every epoch (when
+        # save_last is on); a second identical save here would both ignore
+        # save_last=False and re-pay a full device->host state transfer.
         self.logger.close()
         self._final_state = state  # inspectable after fit (tests, eval)
         return {"loss/train": last_metrics.get("loss", float("nan")),
@@ -654,12 +657,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _monitor_score(self, epoch: int) -> float:
-        """Score used for top-k retention (larger = better)."""
+        """Score used for top-k retention (larger = better).
+
+        A val metric only ranks a checkpoint when it is FRESH (computed
+        this epoch): with check_val_every_n_epoch > save_every_n_epochs,
+        scoring off-epoch checkpoints with a stale value would key two
+        different states on one measurement (and -inf before the first
+        validation would evict pre-val checkpoints regardless of quality).
+        Stale/missing metrics fall back to epoch recency."""
         if self.monitor == "epoch":
             val = float(epoch)
         else:
             key = self.monitor.replace("loss/val", "loss").replace("val_", "")
             val = self._last_val.get(key, float("nan"))
+            if self._last_val_epoch != epoch or val != val:
+                # stale or absent -> recency fallback (keep most recent k),
+                # offset so any fresh metric outranks it in either mode
+                return -1e30 + float(epoch)
         if self.monitor_mode == "min":
             val = -val
         return val if val == val else float("-inf")  # NaN -> never retained over real scores

@@ -203,6 +203,16 @@ def assert_model_downloaded(checkpoint_path, url: str, use_wget: bool = True) ->
         subprocess.run(["wget", url, "-O", checkpoint_path], check=True)
 
 
+def pcm24_bytes(audio: np.ndarray) -> bytes:
+    """Mono float waveform -> 24-bit little-endian PCM frames (the one
+    shared encoder for file writing and HTTP serving)."""
+    clipped = np.clip(np.asarray(audio, dtype=np.float32).squeeze(), -1.0, 1.0)
+    scaled = (clipped * (2**23 - 1)).astype(np.int32)
+    raw = scaled.astype("<i4").tobytes()
+    # Keep the low 3 bytes of each little-endian int32 -> 24-bit PCM
+    return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
+
+
 def write_wav(path, audio: np.ndarray, sample_rate: int = 22050) -> None:
     """Write mono waveform to .wav (24-bit PCM, like the reference CLI).
 
@@ -218,16 +228,11 @@ def write_wav(path, audio: np.ndarray, sample_rate: int = 22050) -> None:
         pass
     import wave
 
-    clipped = np.clip(audio, -1.0, 1.0)
-    scaled = (clipped * (2**23 - 1)).astype(np.int32)
-    raw = scaled.astype("<i4").tobytes()
-    # Keep the low 3 bytes of each little-endian int32 -> 24-bit PCM
-    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
     with wave.open(str(path), "wb") as f:
         f.setnchannels(1)
         f.setsampwidth(3)
         f.setframerate(sample_rate)
-        f.writeframes(b)
+        f.writeframes(pcm24_bytes(audio))
 
 
 def read_wav(path) -> tuple:
