@@ -224,9 +224,13 @@ class MatchaTTS(nn.Module):
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)[..., None]
         mu_x, logw = self.encoder(x, x_mask, spk_emb, deterministic=True)
 
-        w = jnp.exp(logw) * x_mask
+        # Same duration clamp as encode(): exp of an untrained/garbage logit
+        # can overflow -> inf w_ceil -> generate_path cumsum saturation. The
+        # fused and two-stage paths must harden identically (they are
+        # asserted equivalent in tests/test_model_smoke.py).
+        w = jnp.exp(jnp.minimum(logw, 11.0)) * x_mask
         w_ceil = jnp.ceil(w) * length_scale
-        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), min=1.0)
+        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), min=1.0, max=2.0**30)
         y_lengths = jnp.minimum(y_lengths, float(y_max_length)).astype(jnp.int32)
 
         y_mask = sequence_mask(y_lengths, y_max_length).astype(jnp.float32)[..., None]

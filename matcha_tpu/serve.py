@@ -93,10 +93,18 @@ class BatchingServer:
     batch; mixed keys flush separately (speaking_rate is baked into the
     encode graph as a trace constant, cli.py _encode_fn)."""
 
+    #: speaking_rate is a jit trace constant (a new value = a fresh XLA
+    #: compile, minutes over a remote-compile tunnel, serialized on the
+    #: single batcher thread). Client rates are therefore clamped to this
+    #: range and snapped to the nearest RATE_STEP so the compile surface
+    #: is a small finite set instead of the float continuum.
+    RATE_RANGE = (0.5, 2.0)
+    RATE_STEP = 0.05
+
     def __init__(self, pipeline: TTSPipeline, max_batch: int = 8,
                  batch_window_ms: float = 10.0, n_timesteps: int = 10,
                  temperature: float = 0.667, default_rate: float = 1.0,
-                 seed: int = 1234):
+                 seed: int = 1234, default_spk: int | None = None):
         import jax
 
         self.jax = jax
@@ -105,15 +113,32 @@ class BatchingServer:
         self.batch_window_s = batch_window_ms / 1e3
         self.n_timesteps = n_timesteps
         self.temperature = temperature
-        self.default_rate = default_rate
+        self.default_rate = self._quantize_rate(default_rate)
+        # Default speaker for multispeaker models: a request that omits
+        # "spk" must not reach MatchaTTS._speaker(None) (spk embedding
+        # lookup needs an id), so the registry/CLI default applies here.
+        self.default_spk = default_spk
         self._key = jax.random.PRNGKey(seed)
         self._n_calls = 0
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        # guards the request/batch counters and the timeout-vs-dispatch
+        # race on _Request.error (see _loop / submit)
+        self._lock = threading.Lock()
         self.n_batches = 0
         self.n_requests = 0
+        # largest T_x bucket warmed so far; texts longer than this would
+        # trigger a fresh compile that stalls all queued traffic, so they
+        # are rejected at enqueue time (None until warmup() runs = accept
+        # anything, e.g. tests that tolerate compiles).
+        self.max_warm_x: int | None = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _quantize_rate(self, rate: float) -> float:
+        lo, hi = self.RATE_RANGE
+        rate = min(max(float(rate), lo), hi)
+        return round(round(rate / self.RATE_STEP) * self.RATE_STEP, 2)
 
     # -- client side -------------------------------------------------------
     def _enqueue(self, text: str, speaking_rate: float | None,
@@ -123,12 +148,19 @@ class BatchingServer:
         from matcha_tpu.utils.utils import intersperse
 
         seq = intersperse(text_to_sequence(text, [self.pipeline.cleaner]), 0)
+        if self.max_warm_x is not None and len(seq) > self.max_warm_x:
+            raise ValueError(
+                f"text too long: {len(seq)} phoneme ids > largest warmed "
+                f"bucket {self.max_warm_x}; split the request (or use "
+                f"/synthesise_long) or restart with a bigger --warmup")
         req = _Request(
             seq=np.asarray(seq, np.int32),
-            speaking_rate=float(speaking_rate or self.default_rate),
-            spk=spk,
+            speaking_rate=self._quantize_rate(
+                speaking_rate if speaking_rate is not None else self.default_rate),
+            spk=self.default_spk if spk is None else int(spk),
         )
-        self.n_requests += 1
+        with self._lock:
+            self.n_requests += 1
         self._q.put(req)
         return req
 
@@ -136,7 +168,11 @@ class BatchingServer:
                spk: int | None = None, timeout_s: float = 120.0) -> _Request:
         req = self._enqueue(text, speaking_rate, spk)
         if not req.done.wait(timeout_s):
-            req.error = "timeout"
+            # the same lock the batcher sheds under: if the batch already
+            # dispatched (done set between wait() and here), keep the result
+            with self._lock:
+                if not req.done.is_set():
+                    req.error = "timeout"
         return req
 
     def submit_stream(self, text: str, speaking_rate: float | None = None,
@@ -202,8 +238,10 @@ class BatchingServer:
             # shed abandoned work: a request whose submit() already timed
             # out has no reader — synthesizing it would spend full device
             # dispatches on waveforms nobody fetches, so overload backlogs
-            # would never drain
-            batch = [r for r in batch if r.error is None]
+            # would never drain. Under the lock so a concurrent submit()
+            # timeout cannot land between this check and the dispatch.
+            with self._lock:
+                batch = [r for r in batch if r.error is None]
             if not batch:
                 continue
             # group by trace-constant key; typically one group
@@ -244,12 +282,13 @@ class BatchingServer:
         wavs = np.asarray(out["waveform"])
         mel_lengths = np.asarray(out["mel_lengths"])
         self.n_batches += 1
-        for i, r in enumerate(reqs):
-            n = int(mel_lengths[i])
-            r.n_frames = n
-            r.wav = wavs[i, : n * HOP]
-            r.t_done = time.perf_counter()
-            r.done.set()
+        with self._lock:  # pairs with submit()'s timeout re-check
+            for i, r in enumerate(reqs):
+                n = int(mel_lengths[i])
+                r.n_frames = n
+                r.wav = wavs[i, : n * HOP]
+                r.t_done = time.perf_counter()
+                r.done.set()
 
     # -- warmup ------------------------------------------------------------
     def warmup(self, pairs):
@@ -273,19 +312,29 @@ class BatchingServer:
             for B in sorted(sizes):
                 x = np.ones((B, T_x), np.int32)
                 xl = np.full((B,), T_x, np.int32)
+                # warm the same speaker shape real requests dispatch with:
+                # for a multispeaker model every request carries default_spk
+                spks = (None if self.default_spk is None
+                        else self.jax.numpy.full((B,), int(self.default_spk),
+                                                 self.jax.numpy.int32))
                 mu_x, w_ceil, y_lengths = self.pipeline._encode_fn(T_x, self.default_rate)(
                     self.pipeline.params, self.jax.numpy.asarray(x),
-                    self.jax.numpy.asarray(xl), None)
+                    self.jax.numpy.asarray(xl), spks)
                 out = self.pipeline._decode_fn(T_x, T_y, self.n_timesteps, self.temperature)(
                     self.pipeline.params, mu_x, w_ceil,
                     self.jax.numpy.asarray(xl), y_lengths,
-                    self.jax.random.PRNGKey(0), spks=None)
+                    self.jax.random.PRNGKey(0), spks=spks)
                 if self.pipeline.vocoder is not None:
                     mel_btc = self.jax.numpy.swapaxes(out["mel"], 1, 2)
                     for T_voc in voc_lens:
                         self.pipeline._vocode_fn()(
                             self.pipeline.vocoder_params, mel_btc[:, :T_voc],
                             self.jax.numpy.float32(self.pipeline.denoiser_strength))
+        if pairs:
+            # from here on, reject texts that would outgrow the warmed set
+            # (each would stall all queued traffic on a minutes-long compile)
+            self.max_warm_x = max(self.max_warm_x or 0,
+                                  max(T_x for T_x, _ in pairs))
 
 
 def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int = 8080):
@@ -455,7 +504,11 @@ def main(argv=None):
     batcher = BatchingServer(pipeline, max_batch=args.max_batch,
                              batch_window_ms=args.batch_window_ms,
                              n_timesteps=args.steps, temperature=args.temperature,
-                             default_rate=args.speaking_rate or 1.0)
+                             default_rate=args.speaking_rate or 1.0,
+                             # validate_args filled args.spk with the model
+                             # registry default (e.g. 0 for matcha_vctk);
+                             # requests omitting "spk" use it
+                             default_spk=args.spk)
     pairs = _parse_warmup(args.warmup)
     if pairs:
         print(f"[!] Warming {len(pairs)} bucket pair(s) x batch sizes {{1,{args.max_batch}}}...")

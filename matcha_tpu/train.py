@@ -86,7 +86,13 @@ def train(cfg) -> Tuple[dict, dict]:
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
-            pass  # backend already initialised (e.g. by an earlier run in-process)
+            # backend already initialised (e.g. by an earlier run
+            # in-process) — training will STAY on the existing backend
+            if jax.default_backend() != "cpu":
+                log.warning(
+                    "trainer.accelerator=cpu ignored: the JAX backend is "
+                    f"already initialised on '{jax.default_backend()}'; "
+                    "set JAX_PLATFORMS=cpu before process start to force CPU")
     output_dir = cfg.paths.output_dir
     os.makedirs(output_dir, exist_ok=True)
     save_config(cfg, os.path.join(output_dir, "config.yaml"))

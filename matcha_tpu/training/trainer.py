@@ -424,18 +424,21 @@ class Trainer:
         # global batch grows with hosts, like the reference's Lightning DDP).
         import math as _math
 
-        n_dev = len(jax.devices())
-        if devices not in (None, "all", "auto", -1):
-            # trainer.devices (reference configs/trainer/*.yaml): cap how
-            # many local devices the mesh uses (int, or a list of indices).
-            n_cap = len(devices) if isinstance(devices, (list, tuple)) else int(devices)
-            n_dev = max(1, min(n_dev, n_cap))
+        device_pool = jax.devices()
+        if isinstance(devices, (list, tuple)):
+            # trainer.devices=[0,2] (reference Lightning semantics): use
+            # exactly those local device indices, not merely that many.
+            device_pool = [jax.devices()[int(i)] for i in devices]
+        elif devices not in (None, "all", "auto", -1):
+            # trainer.devices=N: cap how many local devices the mesh uses.
+            device_pool = device_pool[: max(1, min(len(device_pool), int(devices)))]
+        n_dev = len(device_pool)
         pcount = jax.process_count()
         local_bs = int(getattr(datamodule, "batch_size", n_dev))
         n_local = max(1, _math.gcd((n_dev // n_model_axis) // pcount, local_bs))
         n_data = n_local * pcount
         self.mesh = make_mesh(n_data=n_data, n_model=n_model_axis,
-                              devices=jax.devices()[: n_data * n_model_axis])
+                              devices=device_pool[: n_data * n_model_axis])
         self.tx = make_optimizer(lr, weight_decay, gradient_clip_val, scheduler)
         self.train_step = make_train_step(model, self.tx, out_size, precision=precision)
         self.eval_step = make_eval_step(model, out_size)

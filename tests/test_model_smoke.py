@@ -84,6 +84,44 @@ def test_synthesise_shapes(tiny_model_and_params):
     assert np.abs(m[1, :, ml[1]:]).max() == 0.0
 
 
+def test_fused_and_two_stage_paths_identical(tiny_model_and_params):
+    """The fused synthesise() graph and the encode()->decode() two-stage
+    path share the duration hardening (logw clamp, matcha.py) and must
+    produce bit-identical mels for the same key (VERDICT r2 Weak #4)."""
+    model, params, (x, xl, _, _) = tiny_model_and_params
+    key = jax.random.PRNGKey(9)
+    fused = jax.jit(functools.partial(
+        model.apply, method=MatchaTTS.synthesise,
+        n_timesteps=3, temperature=0.667, y_max_length=64))(params, x, xl, key)
+    mu_x, w_ceil, y_lengths = jax.jit(functools.partial(
+        model.apply, method=MatchaTTS.encode))(params, x, xl, None)
+    staged = jax.jit(functools.partial(
+        model.apply, method=MatchaTTS.decode,
+        n_timesteps=3, temperature=0.667, y_max_length=64))(
+        params, mu_x, w_ceil, xl, y_lengths, key)
+    np.testing.assert_array_equal(np.asarray(fused["mel_lengths"]),
+                                  np.asarray(staged["mel_lengths"]))
+    np.testing.assert_allclose(np.asarray(fused["mel"]),
+                               np.asarray(staged["mel"]), rtol=0, atol=0)
+
+
+def test_synthesise_garbage_logw_saturates_not_overflows(tiny_model_and_params):
+    """With adversarially large duration logits, the fused path must
+    saturate at the bucket edge (finite attn/mel), not overflow to inf."""
+    model, params, (x, xl, _, _) = tiny_model_and_params
+    blown = jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.full_like(p, 1e4)
+        if any(getattr(k, "key", None) == "proj_w" for k in path) else p,
+        params)
+    out = jax.jit(functools.partial(
+        model.apply, method=MatchaTTS.synthesise,
+        n_timesteps=1, y_max_length=64))(blown, x, xl, jax.random.PRNGKey(0))
+    ml = np.asarray(out["mel_lengths"])
+    assert (ml == 64).all()  # saturated to the bucket, not inf/garbage
+    assert np.isfinite(np.asarray(out["attn"])).all()
+    assert np.isfinite(np.asarray(out["mel"])).all()
+
+
 def test_dropout_rng_changes_training_loss(tiny_model_and_params):
     model, params, (x, xl, y, yl) = tiny_model_and_params
     loss_fn = jax.jit(

@@ -41,9 +41,10 @@ def batcher(fabricated_ckpts, monkeypatch):  # noqa: F811
 def test_concurrent_requests_merge_into_one_batch(batcher):
     """4 concurrent submits inside the window -> ONE device batch."""
     batcher.warmup([(32, 128)])  # compile before timing-sensitive batching
+    # warmup() arms the too-long guard at bucket 32 -> texts must fit
     results = [None] * 4
-    texts = ["hello there", "a somewhat longer sentence here",
-             "short", "the quick brown fox jumps"]
+    texts = ["hello there", "more words here",
+             "short", "a tiny text"]
 
     def worker(i):
         results[i] = batcher.submit(texts[i], timeout_s=300.0)
@@ -124,6 +125,39 @@ def test_http_server_end_to_end(batcher):
         assert ei.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_enqueue_quantizes_rate_and_applies_defaults():
+    """ADVICE r2: speaking_rate snaps to the 0.05 grid in [0.5, 2.0] (the
+    compile surface stays finite), omitted spk gets the default speaker,
+    and texts beyond the largest warmed x-bucket are rejected up front."""
+    import queue as _queue
+
+    from matcha_tpu.serve import BatchingServer
+
+    b = object.__new__(BatchingServer)  # no device work: _enqueue only
+    b.pipeline = type("P", (), {"cleaner": "english_cleaners_no_espeak"})()
+    b.default_rate = 1.0
+    b.default_spk = 3
+    b.max_warm_x = None
+    b._lock = threading.Lock()
+    b.n_requests = 0
+    b._q = _queue.Queue()
+
+    req = b._enqueue("hello", None, None)
+    assert req.spk == 3 and req.speaking_rate == 1.0
+    assert b._enqueue("hello", 1.517, 5).speaking_rate == 1.5
+    assert b._enqueue("hello", 1.517, 5).spk == 5
+    assert b._enqueue("hello", 99.0, None).speaking_rate == 2.0
+    assert b._enqueue("hello", 0.01, None).speaking_rate == 0.5
+    # two requests with near-identical rates land in ONE trace-constant group
+    assert (b._enqueue("x", 0.949, None).speaking_rate
+            == b._enqueue("x", 0.951, None).speaking_rate == 0.95)
+    assert b.n_requests == 7
+
+    b.max_warm_x = 8
+    with pytest.raises(ValueError, match="too long"):
+        b._enqueue("this sentence is far beyond eight ids", None, None)
 
 
 def test_parse_warmup():
