@@ -135,6 +135,10 @@ class TTSPipeline:
         self._decode_cache = {}
         self._vocode_cache = {}
         self._fused_cache = {}
+        # Auto fused-bucket calibration (fixed_y_bucket="auto"): running max
+        # of observed mel frames per (phoneme id x length_scale). None until
+        # the first call returns real mel lengths.
+        self._dur_ratio = None
 
     def _place(self, *arrays):
         """Commit batch arrays to the mesh (leading axis over 'data').
@@ -285,24 +289,59 @@ class TTSPipeline:
                 if vocode is not None:
                     out["waveform"] = vocode(
                         voc_params, jnp.swapaxes(out["mel"], 1, 2), strength)
+                    # mel_lengths appended to the wav rows: auto mode's
+                    # saturation check + the caller's samples + lengths all
+                    # arrive in ONE device->host transfer (each extra fetch
+                    # costs a full tunnel round trip, ~27 ms measured)
+                    out["wav_packed"] = jnp.concatenate(
+                        [out["waveform"],
+                         out["mel_lengths"][:, None].astype(jnp.float32)], axis=1)
                 return out
 
             self._fused_cache[cache_key] = self.jax.jit(fused)
         return self._fused_cache[cache_key]
 
     # ----------------------------------------------------------------------
+    #: candidate static mel buckets for the auto-selected fused graph
+    #: (finer than Y_BUCKETS: the tightest graph minimises padded decode +
+    #: vocoder work, which is where single-sentence latency goes)
+    FUSED_Y_BUCKETS = tuple(range(64, 2049, 64))
+    #: safety headroom over the calibrated frames-per-token estimate
+    FUSED_MARGIN = 1.15
+
+    def _auto_y_bucket(self, n_ids: int, length_scale: float) -> int:
+        """Tightest fused mel bucket from the calibrated duration ratio.
+
+        Before any calibration the largest bucket is used (always correct,
+        just not tight); the first real result tightens it. Replaces the
+        hand-picked ``--fixed-y-bucket 448`` benchmark flag with a
+        protocol a real user gets by default.
+        """
+        if self._dur_ratio is None:
+            return self.FUSED_Y_BUCKETS[-1]
+        est = n_ids * length_scale * self._dur_ratio * self.FUSED_MARGIN
+        for b in self.FUSED_Y_BUCKETS:
+            if b >= est:
+                return b
+        return self.FUSED_Y_BUCKETS[-1]
+
     def synthesise_batch(self, x: np.ndarray, x_lengths: np.ndarray, key,
                          n_timesteps: int = 10, temperature: float = 0.667,
                          length_scale: float = 1.0, spks=None,
-                         fixed_y_bucket: int = 0):
+                         fixed_y_bucket=0):
         """Returns the reference synthesise dict + 'waveform' (if vocoder).
 
         With ``fixed_y_bucket`` the whole text->wav pipeline is ONE fused
-        jit call (no host sync); otherwise it is encode -> host bucket pick
-        -> decode -> vocode with per-bucket jit caches.
+        jit call (no host sync); ``"auto"`` picks the tightest fused bucket
+        from the self-calibrating frames-per-token ratio (re-dispatching a
+        bigger bucket iff the result saturated — the returned dict then
+        carries ``mel_lengths_host``, already fetched for the check, so
+        callers pay no extra transfer). Otherwise it is encode -> host
+        bucket pick -> decode -> vocode with per-bucket jit caches.
         """
         import jax.numpy as jnp
 
+        x_lengths_host = np.asarray(x_lengths)
         T_x = pick_bucket(x.shape[-1], X_BUCKETS)
         x_pad = np.zeros((x.shape[0], T_x), dtype=np.int32)
         x_pad[:, : x.shape[-1]] = x
@@ -312,10 +351,37 @@ class TTSPipeline:
         )
 
         if fixed_y_bucket:
-            fn = self._fused_fn(T_x, int(fixed_y_bucket), n_timesteps, temperature,
-                                length_scale, spks_j is not None)
-            return fn(self.params, self.vocoder_params, x_pad, x_lengths, key,
-                      spks_j, jnp.float32(self.denoiser_strength))
+            auto = fixed_y_bucket == "auto"
+            T_y = (self._auto_y_bucket(int(x_lengths_host.max()), length_scale)
+                   if auto else int(fixed_y_bucket))
+            while True:
+                fn = self._fused_fn(T_x, T_y, n_timesteps, temperature,
+                                    length_scale, spks_j is not None)
+                out = fn(self.params, self.vocoder_params, x_pad, x_lengths, key,
+                         spks_j, jnp.float32(self.denoiser_strength))
+                if not auto:
+                    return out
+                # ONE host sync for the saturation check AND the caller's
+                # data: the fused graph packed mel_lengths into the wav
+                # rows, so a single transfer carries both (a separate
+                # mel_lengths fetch costs a full ~27 ms tunnel round trip).
+                if "wav_packed" in out:
+                    packed = np.asarray(out["wav_packed"])
+                    ml = packed[:, -1].astype(np.int32)  # exact for <2**24
+                    out["waveform_host"] = packed[:, :-1]
+                else:  # vocoder-less pipeline: the (B,) int32 fetch it is
+                    ml = np.asarray(out["mel_lengths"])
+                out["mel_lengths_host"] = ml
+                saturated = bool((ml >= T_y).any())
+                valid = x_lengths_host > 0
+                if not saturated and valid.any():
+                    obs = float(np.max(ml[valid] / (x_lengths_host[valid] * length_scale)))
+                    self._dur_ratio = max(self._dur_ratio or 0.0, obs)
+                if not saturated or T_y >= self.FUSED_Y_BUCKETS[-1]:
+                    return out
+                # truncated: escalate to the next bucket with 2x headroom
+                T_y = next((b for b in self.FUSED_Y_BUCKETS if b >= 2 * T_y),
+                           self.FUSED_Y_BUCKETS[-1])
 
         mu_x, w_ceil, y_lengths = self._encode_fn(T_x, length_scale)(
             self.params, x_pad, x_lengths, spks_j
@@ -620,8 +686,9 @@ def unbatched_synthesis(args, pipeline: TTSPipeline, texts, spk):
             length_scale=args.speaking_rate, spks=spk,
             fixed_y_bucket=args.fixed_y_bucket,
         )
-        ml = int(out["mel_lengths"][0])
-        wav = np.asarray(out["waveform"][0])[: ml * 256]
+        # auto mode pre-fetched host copies in its (single) sync
+        ml = int(np.asarray(out.get("mel_lengths_host", out["mel_lengths"]))[0])
+        wav = np.asarray(out.get("waveform_host", out["waveform"])[0])[: ml * 256]
         t = (dt.datetime.now() - start_t).total_seconds()
         rtf = _rtf(t, ml * 256)
         rtf_w = _rtf(t, wav.shape[-1])
@@ -749,7 +816,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--long-form", action="store_true", help="Sentence-chunked streaming synthesis for long --text inputs")
     parser.add_argument("--batch_size", type=int, default=32, help="Batch size only useful when --batched (default: 32)")
     parser.add_argument("--seed", type=int, default=1234, help="Noise seed (explicit PRNG; default 1234)")
-    parser.add_argument("--fixed-y-bucket", type=int, default=0, help="Fix the mel bucket length and run the whole text->wav pipeline as ONE fused jit graph (no host sync; lowest latency). 0 = dynamic bucket pick.")
+    parser.add_argument("--fixed-y-bucket", type=lambda s: s if s == "auto" else int(s), default=0, help="Fix the mel bucket length and run the whole text->wav pipeline as ONE fused jit graph (no host sync; lowest latency). 'auto' = self-calibrating tightest bucket. 0 = dynamic bucket pick.")
     parser.add_argument("--staged", action="store_true", help="With --batched: staged corpus serving — dispatch every batch's encoder pass first, fetch all predicted mel lengths in one host transfer, then decode+vocode per bucket (highest filelist throughput).")
     parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
     parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
