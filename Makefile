@@ -7,7 +7,7 @@ native:	## Build the C++/OpenMP MAS host kernel
 	g++ -O3 -fopenmp -shared -fPIC native/mas/mas.cpp -o native/mas/libmas.so
 
 test:	## Run fast tests
-	python -m pytest tests/ -q -k "not slow"
+	python -m pytest tests/ -q -m "not slow"
 
 test-full:	## Run all tests
 	python -m pytest tests/ -q

@@ -162,7 +162,7 @@ def tree_paths_shapes(tree, prefix=""):
             out[p] = tuple(v.shape)
     return out
 
-
+@pytest.mark.slow
 def test_matcha_converter_structural(rng):
     sd = synthetic_matcha_state_dict(rng)
     converted = convert_matcha_state_dict(sd, n_down_blocks=2, num_mid_blocks=TINY["dec_num_mid_blocks"])

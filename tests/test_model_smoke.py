@@ -52,7 +52,7 @@ def test_losses_finite_and_jittable(tiny_model_and_params):
     np.testing.assert_array_equal(a[0].sum(0), np.ones(64))
     assert a[1, :, 40:].sum() == 0
 
-
+@pytest.mark.slow
 def test_losses_with_segment_cut(tiny_model_and_params):
     model, params, (x, xl, y, yl) = tiny_model_and_params
     loss_fn = jax.jit(
@@ -83,7 +83,7 @@ def test_synthesise_shapes(tiny_model_and_params):
     m = np.asarray(out["encoder_outputs"])
     assert np.abs(m[1, :, ml[1]:]).max() == 0.0
 
-
+@pytest.mark.slow
 def test_fused_and_two_stage_paths_identical(tiny_model_and_params):
     """The fused synthesise() graph and the encode()->decode() two-stage
     path share the duration hardening (logw clamp, matcha.py) and must
@@ -121,7 +121,7 @@ def test_synthesise_garbage_logw_saturates_not_overflows(tiny_model_and_params):
     assert np.isfinite(np.asarray(out["attn"])).all()
     assert np.isfinite(np.asarray(out["mel"])).all()
 
-
+@pytest.mark.slow
 def test_dropout_rng_changes_training_loss(tiny_model_and_params):
     model, params, (x, xl, y, yl) = tiny_model_and_params
     loss_fn = jax.jit(
@@ -133,7 +133,7 @@ def test_dropout_rng_changes_training_loss(tiny_model_and_params):
     # same data/noise keys, different dropout masks -> different diff loss
     assert float(d1[2]) != float(d2[2])
 
-
+@pytest.mark.slow
 def test_remat_losses_match(tiny_model_and_params):
     """remat=True recomputes activations but must not change values."""
     from matcha_tpu.models import MatchaTTS
@@ -155,7 +155,7 @@ def test_remat_losses_match(tiny_model_and_params):
     assert abs(v1 - v2) < 1e-4
     assert abs(g1 - g2) / max(g1, 1e-6) < 1e-3
 
-
+@pytest.mark.slow
 def test_conformer_decoder_block_option():
     """Config-selectable conformer U-Net blocks (reference decoder.py:318
     get_block / ConformerWrapper :161-198): losses + synthesis run, finite,

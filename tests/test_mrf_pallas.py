@@ -57,7 +57,7 @@ def test_generator_apply_pallas_matches_flax(rng):
                                                interpret=True, max_pallas_channels=16))
     np.testing.assert_allclose(got_fb, ref, atol=1e-5)
 
-
+@pytest.mark.slow
 def test_generator_apply_pallas_bf16_params(rng):
     """bf16 serving params (--bf16-vocoder) through the Pallas path: the
     fused stage casts weights/activations to f32 internally (Mosaic cannot

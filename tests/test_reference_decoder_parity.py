@@ -120,7 +120,7 @@ def test_decoder_forward_matches_reference(ref, rng):
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 2, 1), out_ref, atol=3e-4)
 
-
+@pytest.mark.slow
 def test_synthesise_end_to_end_matches_reference(ref, rng, monkeypatch):
     """Full text->mel parity: the reference MatchaTTS.synthesise (run with
     OUR jax-drawn terminal noise injected via torch.randn_like) must match
@@ -181,7 +181,7 @@ def test_synthesise_end_to_end_matches_reference(ref, rng, monkeypatch):
         np.asarray(out_j["mel"])[:, :, :y_max],
         out_ref["mel"].numpy(), atol=2e-3)  # denormalize scales by mel_std
 
-
+@pytest.mark.slow
 def test_training_forward_matches_reference(ref, rng, monkeypatch):
     """dur/prior/diff losses vs the reference training forward, with OUR
     jax-drawn CFM timestep/noise replayed into torch.rand/randn_like."""

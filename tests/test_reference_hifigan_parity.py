@@ -67,7 +67,7 @@ def test_generator_matches_reference(ref_generator):
     got = np.asarray(ours.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
     np.testing.assert_allclose(got[..., 0], ref[:, 0, :], atol=2e-4, rtol=0)
 
-
+@pytest.mark.slow
 def test_generator_weight_norm_form_matches_reference(ref_generator):
     """The unfolded (g, v) training parameterisation computes the same
     forward as the reference's weight-normed module."""
@@ -93,7 +93,7 @@ def test_denoiser_bias_matches_reference(ref_generator):
     ).squeeze()
     np.testing.assert_allclose(bias, ref_bias, atol=1e-4, rtol=0)
 
-
+@pytest.mark.slow
 def test_mpd_matches_reference():
     """Weight-normed MPD: scores and every feature map match the
     reference module on real+generated waveform pairs."""

@@ -37,7 +37,7 @@ def batcher(fabricated_ckpts, monkeypatch):  # noqa: F811
     yield b
     b.shutdown()
 
-
+@pytest.mark.slow
 def test_concurrent_requests_merge_into_one_batch(batcher):
     """4 concurrent submits inside the window -> ONE device batch."""
     batcher.warmup([(32, 128)])  # compile before timing-sensitive batching

@@ -360,7 +360,7 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     assert jax.config.jax_compilation_cache_dir != str(target)
     assert "xla_cache" in jax.config.jax_compilation_cache_dir
 
-
+@pytest.mark.slow
 def test_callbacks_none_and_model_summary(tmp_path, datamodule):
     """`callbacks=none` disables checkpoint writing (reference
     configs/callbacks/none.yaml analog); summarize_params produces a
