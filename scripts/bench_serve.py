@@ -70,14 +70,33 @@ def main():
         for t in ws:
             t.join()
 
-    lat_ms, audio_s = [], []
+    lat_ms, audio_s, ttfa_ms = [], [], []
     lock = threading.Lock()
     stop = time.perf_counter() + args.duration
     n0_batches, n0_reqs = batcher.n_batches, batcher.n_requests
 
+    LONG_TEXT = " ".join(SENTENCES[:4])  # multi-sentence article chunk
+
     def client(ci):
         rng = np.random.default_rng(ci)
         while time.perf_counter() < stop:
+            if ci == 0:
+                # Streaming client: time-to-first-audio over a long text —
+                # the serving differentiator the reference has no answer to
+                # (serve.py submit_stream: one dispatch, not the article).
+                t0 = time.perf_counter()
+                first = None
+                for r in batcher.submit_stream(LONG_TEXT, max_chars=80,
+                                               timeout_s=600.0):
+                    if r.error:
+                        raise RuntimeError(r.error)
+                    if first is None:
+                        first = time.perf_counter()
+                    with lock:
+                        audio_s.append(len(r.wav) / 22050.0)
+                with lock:
+                    ttfa_ms.append((first - t0) * 1e3)
+                continue
             s = SENTENCES[rng.integers(0, len(SENTENCES))]
             t0 = time.perf_counter()
             r = batcher.submit(s, timeout_s=600.0)
@@ -98,12 +117,25 @@ def main():
 
     n_req = len(lat_ms)
     n_disp = batcher.n_batches - n0_batches
-    print(f"clients={args.clients} window={args.window_ms}ms max_batch={args.max_batch}")
-    print(f"requests: {n_req} in {wall:.1f}s -> {n_req/wall:.1f} req/s")
-    print(f"audio throughput: {sum(audio_s)/wall:.1f}x realtime")
-    print(f"latency p50/p90/p99: {np.percentile(lat_ms,50):.1f} / "
-          f"{np.percentile(lat_ms,90):.1f} / {np.percentile(lat_ms,99):.1f} ms")
-    print(f"batch occupancy: {n_req}/{n_disp} dispatches = {n_req/max(n_disp,1):.2f} req/dispatch")
+    result = {
+        "clients": args.clients, "window_ms": args.window_ms,
+        "max_batch": args.max_batch,
+        "req_per_s": round(n_req / wall, 1),
+        "audio_x_realtime": round(sum(audio_s) / wall, 1),
+        "latency_ms": ({p: round(float(np.percentile(lat_ms, q)), 1)
+                        for p, q in (("p50", 50), ("p90", 90), ("p99", 99))}
+                       if lat_ms else None),
+        "batch_occupancy": round(n_req / max(n_disp, 1), 2),
+        # time-to-first-audio-chunk for streamed long-form under load;
+        # target: < 100 ms p50 once a chunk rides a warm batch
+        "ttfa_ms": ({p: round(float(np.percentile(ttfa_ms, q)), 1)
+                     for p, q in (("p50", 50), ("p90", 90))}
+                    if ttfa_ms else None),
+        "ttfa_target_ms": 100.0,
+    }
+    import json
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
