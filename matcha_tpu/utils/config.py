@@ -261,16 +261,46 @@ def _is_global(config_dir: str, group: str, name: str) -> bool:
     return "@package _global_" in first
 
 
-def print_config_tree(cfg: dict, indent: int = 0) -> None:
-    """Plain-text config tree printer (the rich-free analog of the
-    reference's rich_utils.print_config_tree)."""
-    pad = "  " * indent
-    for k, v in cfg.items():
-        if isinstance(v, dict):
-            print(f"{pad}{k}:")
-            print_config_tree(v, indent + 1)
-        else:
-            print(f"{pad}{k}: {v}")
+#: the reference's branch print order (rich_utils.print_config_tree)
+_PRINT_ORDER = ("data", "model", "callbacks", "logger", "trainer", "paths", "extras")
+
+
+def format_config_tree(cfg: dict, print_order=_PRINT_ORDER) -> str:
+    """Render the composed config as a guided tree with yaml branch bodies
+    — the rich-free analog of the reference's rich_utils.print_config_tree
+    (same branch order: print_order fields first, the rest after)."""
+    queue = [f for f in print_order if f in cfg]
+    queue += [f for f in cfg if f not in queue]
+    lines = ["CONFIG"]
+    for n, field in enumerate(queue):
+        last = n == len(queue) - 1
+        lines.append(("└── " if last else "├── ") + str(field))
+        body = cfg[field]
+        body_str = (yaml.safe_dump(_plain(body), sort_keys=False).rstrip()
+                    if isinstance(body, dict) else str(body))
+        pad = "    " if last else "│   "
+        lines += [pad + ln for ln in body_str.splitlines()]
+    return "\n".join(lines)
+
+
+def print_config_tree(cfg: dict, save_to_file: bool = False) -> None:
+    """Print (and optionally save to <output_dir>/config_tree.log) the
+    config tree, matching the reference's side effects."""
+    text = format_config_tree(cfg)
+    print(text)
+    out_dir = cfg.get("paths", {}).get("output_dir")
+    if save_to_file and out_dir and os.path.isdir(str(out_dir)):
+        with open(os.path.join(str(out_dir), "config_tree.log"), "w",
+                  encoding="utf-8") as f:
+            f.write(text + "\n")
+
+
+def _plain(x):
+    if isinstance(x, dict):
+        return {k: _plain(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_plain(v) for v in x]
+    return x if isinstance(x, (str, int, float, bool, type(None))) else str(x)
 
 
 def save_config(cfg: dict, path: str) -> None:

@@ -40,10 +40,41 @@ def extras(cfg) -> None:
         log.info("Disabling python warnings! <cfg.extras.ignore_warnings=True>")
         warnings.filterwarnings("ignore")
 
+    if cfg.extras.get("enforce_tags"):
+        enforce_tags(cfg)
+
     if cfg.extras.get("print_config"):
         from matcha_tpu.utils.config import print_config_tree
 
-        print_config_tree(cfg)
+        print_config_tree(cfg, save_to_file=True)
+
+
+def enforce_tags(cfg, save_to_file: bool = False) -> None:
+    """Prompt for run tags when the config provides none (the reference's
+    rich_utils.enforce_tags, matcha/utils/rich_utils.py:80-101): on an
+    interactive terminal, ask for a comma-separated list (default "dev");
+    in a non-interactive run, fall back to ["dev"] with a warning. Only
+    process 0 prompts; multiruns must pre-set tags."""
+    if cfg.get("tags"):
+        return
+    if cfg.get("_multirun"):
+        raise ValueError("Specify tags before launching a multirun!")
+    import jax
+
+    tags = None
+    if jax.process_index() == 0 and sys.stdin is not None and sys.stdin.isatty():
+        log.warning("No tags provided in config. Prompting user to input tags...")
+        raw = input('Enter a list of comma separated tags (default "dev"): ')
+        tags = [t.strip() for t in raw.split(",") if t.strip()]
+    if not tags:
+        log.warning('No tags provided; using default ["dev"]')
+        tags = ["dev"]
+    cfg["tags"] = tags
+    log.info(f"Tags: {tags}")
+    out_dir = cfg.get("paths", {}).get("output_dir")
+    if save_to_file and out_dir and os.path.isdir(str(out_dir)):
+        with open(os.path.join(str(out_dir), "tags.log"), "w", encoding="utf-8") as f:
+            f.write(", ".join(tags) + "\n")
 
 
 def task_wrapper(task_func):

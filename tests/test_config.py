@@ -51,3 +51,45 @@ def test_dotted_override_types():
     assert cfg.ckpt_path is None
     # seed interpolation reaches the data config
     assert cfg.data.seed == 7
+
+
+def test_config_tree_render_and_save(tmp_path):
+    """format/print_config_tree: reference branch order, guided tree, yaml
+    bodies, config_tree.log side effect (rich_utils.print_config_tree)."""
+    from matcha_tpu.utils.config import format_config_tree, print_config_tree
+
+    cfg = compose("train", overrides=["run_name=x"])
+    cfg["paths"]["output_dir"] = str(tmp_path)
+    text = format_config_tree(cfg)
+    lines = text.splitlines()
+    assert lines[0] == "CONFIG"
+    branches = [ln[4:] for ln in lines if ln.startswith(("├── ", "└── "))]
+    # print-order fields first, in order; remaining fields after
+    head = [b for b in branches if b in
+            ("data", "model", "callbacks", "logger", "trainer", "paths", "extras")]
+    assert head == ["data", "model", "callbacks", "logger", "trainer", "paths", "extras"]
+    assert "task_name" in branches and branches.index("task_name") > len(head) - 1
+    assert any("n_feats: 80" in ln for ln in lines)
+
+    print_config_tree(cfg, save_to_file=True)
+    assert (tmp_path / "config_tree.log").read_text().startswith("CONFIG")
+
+
+def test_enforce_tags_noninteractive_default_and_save(tmp_path):
+    """enforce_tags (rich_utils.py:80-101 analog): fills ["dev"] when no
+    tty, writes tags.log, raises on tagless multirun, no-ops when set."""
+    import pytest
+
+    from matcha_tpu.utils.utils import enforce_tags
+
+    cfg = {"tags": None, "paths": {"output_dir": str(tmp_path)}}
+    enforce_tags(cfg, save_to_file=True)
+    assert cfg["tags"] == ["dev"]
+    assert (tmp_path / "tags.log").read_text().strip() == "dev"
+
+    cfg2 = {"tags": ["keep"], "paths": {}}
+    enforce_tags(cfg2)
+    assert cfg2["tags"] == ["keep"]
+
+    with pytest.raises(ValueError, match="multirun"):
+        enforce_tags({"tags": None, "_multirun": True})
