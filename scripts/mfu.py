@@ -22,9 +22,13 @@ Usage:  python scripts/mfu.py [--steps K] [--json out.json]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # TPU v5e (v5 lite) public peaks: 197 TFLOP/s bf16 (MXU; f32 inputs run
 # through the same MXU passes at the same rate class), 819 GB/s HBM.
@@ -105,8 +109,11 @@ def main():
         "spks": None,
     }
     tx = make_optimizer()
-    state = TrainState(step=jnp.asarray(0), params=params,
-                       opt_state=tx.init(jax.device_get(params)))
+    # the jitted step donates its input state: give it a COPY of the
+    # params so the serving pipeline's buffers survive the timing loop
+    params_t = jax.tree.map(jnp.array, params)
+    state = TrainState(step=jnp.asarray(0), params=params_t,
+                       opt_state=tx.init(jax.device_get(params_t)))
     step = make_train_step(model, tx)
     lowered = jax.jit(lambda s, b, k: step(s, b, k)).lower(state, batch, key)
     flops, byts = cost_of(lowered.compile())
