@@ -223,7 +223,7 @@ def main() -> None:
         "latency_long_sentence": lat["long"],
         "tunnel_rtt_ms_p50": lat["tunnel_rtt_ms_p50"],
         "latency_target_ms": 50.0,
-        "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets + finer vocoder buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via the AUTO-bucketed fused graph (fixed_y_bucket='auto', truncation-free, ONE packed host sync per call), typical ~3.4s-audio sentence headline + long ~6.4s secondary",
+        "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets + finer vocoder buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via the AUTO-bucketed fused graph (fixed_y_bucket='auto', truncation-free, ONE packed host sync per call shipping device-quantized 24-bit PCM — the written-WAV encoding), typical ~3.4s-audio sentence headline + long ~6.4s secondary",
     }))
 
 

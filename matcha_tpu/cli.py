@@ -65,6 +65,36 @@ def pick_bucket(n: int, buckets) -> int:
     return ((n + 63) // 64) * 64  # beyond the table: round to 64
 
 
+#: 24-bit PCM full-scale, shared with utils.pcm24_bytes / write_wav
+_PCM24_SCALE = 2**23 - 1
+
+
+def _pack_pcm24(jnp, wav, mel_lengths):
+    """Quantize (B, n) f32 waveform to little-endian 24-bit PCM bytes on
+    device — the exact encoding ``utils.pcm24_bytes`` produces host-side
+    (clip, scale by 2^23-1, truncate toward zero, low 3 bytes) — and
+    append mel_lengths as one trailing 3-byte sample per row.
+
+    Shipping wire-format bytes cuts the device->host payload 25% vs f32;
+    through the remote-chip tunnel, transfers beyond ~128 KB cost ~30
+    ms/MB of single-sentence latency (measured, PERFORMANCE.md)."""
+    v = (jnp.clip(wav, -1.0, 1.0) * _PCM24_SCALE).astype(jnp.int32)
+    v = jnp.concatenate([v, mel_lengths[:, None].astype(jnp.int32)], axis=1)
+    b = jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF], axis=-1)
+    return b.astype(jnp.uint8).reshape(v.shape[0], -1)
+
+
+def _unpack_pcm24(arr: np.ndarray):
+    """Host inverse of ``_pack_pcm24``: (B, 3n+3) uint8 -> f32 waveform
+    (B, n) + int32 mel_lengths (B,). The raw bytes minus the trailing
+    sample are already ``pcm24_bytes`` WAV frames (pass-through safe)."""
+    u = arr.reshape(arr.shape[0], -1, 3).astype(np.int32)
+    v = u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+    v = (v ^ 0x800000) - 0x800000  # sign-extend 24 -> 32 bit
+    wav = (v[:, :-1] / np.float32(_PCM24_SCALE)).astype(np.float32)
+    return wav, v[:, -1].astype(np.int32)
+
+
 def process_text(i: int, text: str, cleaner: str = "english_cleaners2"):
     print(f"[{i}] - Input text: {text}")
     seq = intersperse(text_to_sequence(text, [cleaner]), 0)
@@ -87,7 +117,8 @@ class TTSPipeline:
     def __init__(self, model, params, vocoder=None, vocoder_params=None,
                  denoiser_bias=None, cleaner: str = "english_cleaners2",
                  vocoder_bf16: bool = False, vocoder_pallas: bool = True,
-                 mesh=None, vocoder_chunk: int = 0):
+                 mesh=None, vocoder_chunk: int = 0, bf16_latency: bool = False,
+                 pcm24_transfer: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -95,6 +126,20 @@ class TTSPipeline:
         self.model = model
         self.vocoder = vocoder
         self.vocoder_bf16 = vocoder_bf16
+        # bf16 latency mode (CLI --bf16-latency): the FUSED single-jit
+        # graph runs the CFM Euler loop (bf16 decoder param subtree +
+        # compute_dtype plumb, models/matcha.py) and the vocoder+denoiser
+        # tail in bf16. Both B=1 hot stages are bandwidth-bound at ~88% of
+        # the HBM roofline in f32 (PERFORMANCE.md MFU table), so halving
+        # activation bytes is the one remaining latency lever. Duration
+        # math, the encoder, and every non-fused path stay f32.
+        self.bf16_latency = bf16_latency
+        self._params_lat = None
+        self._voc_params_lat = None
+        # Fused auto-bucket graphs ship the waveform as device-quantized
+        # 24-bit PCM (the written-WAV encoding; _pack_pcm24) — 25% less
+        # device->host payload with zero delivered-quality change.
+        self.pcm24_transfer = pcm24_transfer
         # Pallas-fused MRF vocoder (ops/mrf_pallas.py): ~2.2x faster than
         # the XLA conv path on v5e, waveform deviation ~3e-4.
         self.vocoder_pallas = vocoder_pallas
@@ -160,6 +205,34 @@ class TTSPipeline:
                 placed.append(self.jax.device_put(a, s))
         return placed if len(placed) > 1 else placed[0]
 
+    def _latency_params(self):
+        """Model params with the decoder subtree cast to bf16 (cached).
+
+        Only the CFM estimator runs in bf16 (matcha.py ``compute_dtype``);
+        the encoder/duration params stay f32 so predicted durations are
+        bit-identical to the f32 path."""
+        if self._params_lat is None:
+            jnp = self.jax.numpy
+
+            def cast(t):
+                return self.jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, t)
+
+            inner = {k: (cast(v) if k == "decoder" else v)
+                     for k, v in self.params["params"].items()}
+            self._params_lat = {**{k: v for k, v in self.params.items()},
+                                "params": inner}
+        return self._params_lat
+
+    def _latency_voc_params(self):
+        if self._voc_params_lat is None:
+            jnp = self.jax.numpy
+            self._voc_params_lat = self.jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, self.vocoder_params)
+        return self._voc_params_lat
+
     # -- jitted stage builders (cached per bucket shape) -------------------
     def _encode_fn(self, T_x: int, length_scale: float):
         key = (T_x, length_scale)
@@ -206,7 +279,10 @@ class TTSPipeline:
             flax_apply = self.vocoder.apply
 
             def base_apply(vp, mel):
-                if mel.shape[0] * mel.shape[1] >= self.PALLAS_MIN_MEL_FRAMES:
+                # Pallas requires f32 (Mosaic cannot lower the kernel's
+                # bf16 minor-dim broadcasts; see --bf16-vocoder note).
+                if (mel.shape[0] * mel.shape[1] >= self.PALLAS_MIN_MEL_FRAMES
+                        and mel.dtype == self.jax.numpy.float32):
                     return generator_apply_pallas(vp, h, mel)
                 return flax_apply(vp, mel)
         else:
@@ -237,17 +313,18 @@ class TTSPipeline:
 
         return chunked_apply
 
-    def _vocode_tail(self):
+    def _vocode_tail(self, bf16=None):
         """The mel(B,T,C)->wav body shared by the staged stage jit and the
         fused graph: vocoder + clip + denoiser, all inside one trace (the
         denoiser run eagerly becomes ~40 op-by-op dispatches through the
-        device tunnel per batch)."""
+        device tunnel per batch). ``bf16`` overrides the constructor-level
+        ``vocoder_bf16`` (the fused latency graph passes True)."""
         jnp = self.jax.numpy
         from matcha_tpu.models.denoiser import denoise
 
         voc_apply = self._voc_apply()
         bias = self.denoiser_bias
-        bf16 = self.vocoder_bf16
+        bf16 = self.vocoder_bf16 if bf16 is None else bf16
 
         def vocode(voc_params, mel_btc, strength):
             if bf16:
@@ -277,13 +354,16 @@ class TTSPipeline:
             jnp = self.jax.numpy
             from matcha_tpu.models.matcha import MatchaTTS
 
-            vocode = None if self.vocoder is None else self._vocode_tail()
+            lat = self.bf16_latency
+            vocode = (None if self.vocoder is None
+                      else self._vocode_tail(bf16=True if lat else None))
 
             def fused(params, voc_params, x, x_lengths, key, spks, strength):
                 out = self.model.apply(
                     params, x, x_lengths, key,
                     n_timesteps=n_timesteps, temperature=temperature,
                     spks=spks, length_scale=length_scale, y_max_length=T_y,
+                    compute_dtype=jnp.bfloat16 if lat else None,
                     method=MatchaTTS.synthesise,
                 )
                 if vocode is not None:
@@ -293,9 +373,18 @@ class TTSPipeline:
                     # saturation check + the caller's samples + lengths all
                     # arrive in ONE device->host transfer (each extra fetch
                     # costs a full tunnel round trip, ~27 ms measured)
-                    out["wav_packed"] = jnp.concatenate(
-                        [out["waveform"],
-                         out["mel_lengths"][:, None].astype(jnp.float32)], axis=1)
+                    if self.pcm24_transfer:
+                        # wire-format transfer: quantize to 24-bit PCM ON
+                        # DEVICE (the exact encoding write_wav/serve emit,
+                        # utils.pcm24_bytes) and ship 3 bytes/sample instead
+                        # of 4 — measured tunnel fetch beyond ~128 KB costs
+                        # ~30 ms/MB, so the f32 payload was the p90 tail
+                        out["wav_pcm24"] = _pack_pcm24(
+                            jnp, out["waveform"], out["mel_lengths"])
+                    else:
+                        out["wav_packed"] = jnp.concatenate(
+                            [out["waveform"],
+                             out["mel_lengths"][:, None].astype(jnp.float32)], axis=1)
                 return out
 
             self._fused_cache[cache_key] = self.jax.jit(fused)
@@ -354,10 +443,15 @@ class TTSPipeline:
             auto = fixed_y_bucket == "auto"
             T_y = (self._auto_y_bucket(int(x_lengths_host.max()), length_scale)
                    if auto else int(fixed_y_bucket))
+            lat = self.bf16_latency
+            p = self._latency_params() if lat else self.params
+            vp = (self._latency_voc_params()
+                  if lat and self.vocoder_params is not None
+                  else self.vocoder_params)
             while True:
                 fn = self._fused_fn(T_x, T_y, n_timesteps, temperature,
                                     length_scale, spks_j is not None)
-                out = fn(self.params, self.vocoder_params, x_pad, x_lengths, key,
+                out = fn(p, vp, x_pad, x_lengths, key,
                          spks_j, jnp.float32(self.denoiser_strength))
                 if not auto:
                     return out
@@ -365,7 +459,10 @@ class TTSPipeline:
                 # data: the fused graph packed mel_lengths into the wav
                 # rows, so a single transfer carries both (a separate
                 # mel_lengths fetch costs a full ~27 ms tunnel round trip).
-                if "wav_packed" in out:
+                if "wav_pcm24" in out:
+                    out["waveform_host"], ml = _unpack_pcm24(
+                        np.asarray(out["wav_pcm24"]))
+                elif "wav_packed" in out:
                     packed = np.asarray(out["wav_packed"])
                     ml = packed[:, -1].astype(np.int32)  # exact for <2**24
                     out["waveform_host"] = packed[:, :-1]
@@ -820,8 +917,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--staged", action="store_true", help="With --batched: staged corpus serving — dispatch every batch's encoder pass first, fetch all predicted mel lengths in one host transfer, then decode+vocode per bucket (highest filelist throughput).")
     parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
     parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
+    parser.add_argument("--bf16-latency", action="store_true", help="run the fused single-jit serving graph (--fixed-y-bucket) with a bf16 CFM Euler loop + bf16 vocoder tail (~2e-4 wav deviation; durations stay f32/bit-identical). Measured NEUTRAL on v5e (device 10.6 vs 10.0 ms f32: --xla_allow_excess_precision keeps matmuls f32 and bf16 transposed convs hit a slower path, eating the halved HBM traffic) — kept for hardware where bf16 convs are fast")
     parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~1e-3 wav deviation). Only useful with --no-pallas-vocoder: the Pallas MRF stages compute f32 in VMEM, and the dtype churn between stages makes the composite several times SLOWER than plain f32+Pallas (PERFORMANCE.md)")
     parser.add_argument("--no-pallas-vocoder", action="store_true", help="disable the Pallas-fused MRF vocoder kernel (default on: ~2.2x faster, ~3e-4 wav deviation)")
+    parser.add_argument("--no-pcm24-transfer", action="store_true", help="fetch the fused-graph waveform as f32 instead of device-quantized 24-bit PCM (the written-WAV encoding; default pcm24 cuts the device->host payload 25%% with zero delivered-quality change)")
     parser.add_argument("--data-parallel", action="store_true", help="shard batches over ALL attached devices (data-parallel SPMD serving; params replicate once, each jit stage runs partitioned). Pick --batch_size a multiple of the device count.")
     parser.add_argument("--vocoder-chunk", type=int, default=0, help="run the vocoder on N-frame mel windows (receptive-field halo, sequential) to bound its activation memory — enables larger --batch_size x mel-bucket products. 0 = whole-utterance (default).")
     return parser
@@ -867,7 +966,9 @@ def cli(argv=None):
     pipeline = TTSPipeline(model, params, vocoder, vocoder_params, bias,
                            cleaner=args.cleaner, vocoder_bf16=args.bf16_vocoder,
                            vocoder_pallas=not args.no_pallas_vocoder, mesh=mesh,
-                           vocoder_chunk=args.vocoder_chunk)
+                           vocoder_chunk=args.vocoder_chunk,
+                           bf16_latency=args.bf16_latency,
+                           pcm24_transfer=not args.no_pcm24_transfer)
     pipeline.denoiser_strength = args.denoiser_strength
 
     texts = get_texts(args)

@@ -109,7 +109,10 @@ class Decoder(nn.Module):
         if t.ndim == 0:
             t = jnp.broadcast_to(t, (x.shape[0],))
         temb = SinusoidalPosEmb(self.in_channels, name="time_embeddings")(t)
-        temb = TimestepEmbedding(channels[0] * 4, name="time_mlp")(temb)
+        # The sinusoidal embedding is f32 by construction; cast the MLP
+        # output to the activation dtype so a bf16 sampling path is not
+        # silently promoted back to f32 at every ResnetBlock bias-add.
+        temb = TimestepEmbedding(channels[0] * 4, name="time_mlp")(temb).astype(x.dtype)
 
         h = jnp.concatenate([x, mu], axis=-1)
         if spks is not None:

@@ -49,7 +49,9 @@ def solve_euler(
     def step(x, t_dt):
         t, dt = t_dt
         dphi_dt = estimator(x, mask, mu, t, spks)
-        return x + dt * dphi_dt, None
+        # dt is f32 (euler_schedule); cast so a bf16 x stays bf16 across
+        # the scan carry instead of promoting the whole loop to f32.
+        return x + dt.astype(x.dtype) * dphi_dt, None
 
     x, _ = jax.lax.scan(step, x, (ts, dts))
     return x
@@ -65,7 +67,10 @@ def cfm_sample(
     spks: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Generate a sample by integrating the probability flow from noise."""
-    z = jax.random.normal(key, mu.shape, dtype=mu.dtype) * temperature
+    # Draw the noise in f32 and cast: a bf16 compute path (mu.dtype ==
+    # bfloat16, TTSPipeline bf16_latency) then starts from the same z as
+    # the f32 path (modulo rounding) — keys stay comparable across modes.
+    z = jax.random.normal(key, mu.shape, dtype=jnp.float32).astype(mu.dtype) * temperature
     t_span = euler_schedule(n_timesteps)
     return solve_euler(estimator, z, t_span, mu, mask, spks)
 

@@ -158,9 +158,17 @@ class MatchaTTS(nn.Module):
         temperature: float = 1.0,
         spks: Optional[jnp.ndarray] = None,
         y_max_length: int = 1024,
+        compute_dtype: Optional[Any] = None,
     ) -> Dict[str, Any]:
         """Stage 2: expand durations to ``y_max_length`` frames and sample
-        the CFM flow. Jittable per (x-bucket, y-bucket) pair."""
+        the CFM flow. Jittable per (x-bucket, y-bucket) pair.
+
+        ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the CFM Euler loop —
+        the latency-dominant 10 U-Net evaluations — in that dtype; pair it
+        with a decoder param subtree cast to the same dtype (TTSPipeline
+        ``bf16_latency``). Duration/alignment math stays f32 (frame counts
+        above 256 are not exactly representable in bf16) and the returned
+        mel is f32."""
         spk_emb = self._speaker(spks)
         x_mask = sequence_mask(x_lengths, mu_x.shape[1]).astype(jnp.float32)[..., None]
         y_lengths = jnp.minimum(y_lengths, y_max_length).astype(jnp.int32)
@@ -176,8 +184,13 @@ class MatchaTTS(nn.Module):
             decoder_outputs = estimator(mu_y, y_mask, mu_y, jnp.zeros((mu_y.shape[0],)), spk_emb)
         else:
             decoder_outputs = cfm_sample(
-                estimator, key, mu_y, y_mask, n_timesteps, temperature, spk_emb
-            )
+                estimator, key,
+                mu_y if compute_dtype is None else mu_y.astype(compute_dtype),
+                y_mask if compute_dtype is None else y_mask.astype(compute_dtype),
+                n_timesteps, temperature,
+                spk_emb if spk_emb is None or compute_dtype is None
+                else spk_emb.astype(compute_dtype),
+            ).astype(jnp.float32)
         mel = denormalize(jnp.swapaxes(decoder_outputs, 1, 2), self.mel_mean, self.mel_std)
         return {
             "encoder_outputs": jnp.swapaxes(mu_y, 1, 2),
@@ -197,6 +210,7 @@ class MatchaTTS(nn.Module):
         spks: Optional[jnp.ndarray] = None,
         length_scale: float = 1.0,
         y_max_length: int = 1024,
+        compute_dtype: Optional[Any] = None,
     ) -> Dict[str, Any]:
         """Generate mel-spectrograms from phoneme ids.
 
@@ -213,6 +227,8 @@ class MatchaTTS(nn.Module):
             spks: (B,) speaker ids when n_spks > 1.
             length_scale: speaking-rate control (>1 = slower).
             y_max_length: static mel-frame bucket (multiple of 4).
+            compute_dtype: optional dtype (e.g. bf16) for the CFM Euler
+                loop — see :meth:`decode`. Encoder/duration math stays f32.
 
         Returns:
             dict with encoder_outputs, decoder_outputs, attn, mel (denormalized),
@@ -244,8 +260,13 @@ class MatchaTTS(nn.Module):
             decoder_outputs = estimator(mu_y, y_mask, mu_y, jnp.zeros((mu_y.shape[0],)), spk_emb)
         else:
             decoder_outputs = cfm_sample(
-                estimator, key, mu_y, y_mask, n_timesteps, temperature, spk_emb
-            )
+                estimator, key,
+                mu_y if compute_dtype is None else mu_y.astype(compute_dtype),
+                y_mask if compute_dtype is None else y_mask.astype(compute_dtype),
+                n_timesteps, temperature,
+                spk_emb if spk_emb is None or compute_dtype is None
+                else spk_emb.astype(compute_dtype),
+            ).astype(jnp.float32)
 
         mel = denormalize(jnp.swapaxes(decoder_outputs, 1, 2), self.mel_mean, self.mel_std)
         return {

@@ -4,10 +4,13 @@ Completion is forced by fetching the loss — on tunnel-attached devices
 block_until_ready() can return before the device finishes.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -47,10 +47,16 @@ def cost_of(lowered_compiled):
 
 
 def timeit(dispatch, fetch, n):
-    """Queue n varied dispatches, force completion with one data fetch."""
+    """Queue n varied dispatches, force completion with one data fetch.
+
+    Inputs must be PREPARED (device-resident) before entry: anything like
+    fold_in/asarray inside `dispatch` adds host->device dispatches to the
+    timed loop and inflates per-step time ~2x through the tunnel.
+    """
     outs = [dispatch(i) for i in range(n)]
+    fetch(outs[-1])
     t0 = time.perf_counter()
-    outs = [dispatch(100 + i) for i in range(n)]
+    outs = [dispatch(n + i) for i in range(n)]
     fetch(outs[-1])
     return (time.perf_counter() - t0) / n
 
@@ -120,9 +126,12 @@ def main():
     state, m = step(state, batch, key)  # warm (the persistent cache makes this fast)
     float(m["loss"])
 
+    keys_t = list(jax.random.split(key, 2 * args.steps))
+    jax.block_until_ready(keys_t)
+
     def disp_train(i):
         nonlocal state
-        state, mm = step(state, batch, jax.random.fold_in(key, i))
+        state, mm = step(state, batch, keys_t[i])
         return mm["loss"]
 
     secs = timeit(disp_train, lambda o: float(o), args.steps)
@@ -139,8 +148,11 @@ def main():
     mu_x, w_ceil, y_lengths = enc(params, xj, xl, None)
     float(y_lengths[0])
 
+    xs_enc = [jnp.asarray((x + i) % 178) for i in range(2 * args.steps)]
+    jax.block_until_ready(xs_enc)
+
     def disp_enc(i):
-        return enc(params, jnp.asarray((x + i) % 178), xl, None)[2]
+        return enc(params, xs_enc[i], xl, None)[2]
 
     secs = timeit(disp_enc, lambda o: float(o[0]), args.steps)
     rows.append(row("encode B=1 Tx=128", flops, byts, secs))
@@ -153,9 +165,11 @@ def main():
     out = dec(params, mu_x, w_ceil, xl, y_lengths, key, spks=None)
     float(out["mel"][0, 0, 0])
 
+    keys_d = list(jax.random.split(jax.random.fold_in(key, 7), 2 * args.steps))
+    jax.block_until_ready(keys_d)
+
     def disp_dec(i):
-        return dec(params, mu_x, w_ceil, xl, y_lengths,
-                   jax.random.fold_in(key, i), spks=None)
+        return dec(params, mu_x, w_ceil, xl, y_lengths, keys_d[i], spks=None)
 
     secs = timeit(disp_dec, lambda o: float(o["mel"][0, 0, 0]), args.steps)
     rows.append(row("decode 10xEuler B=1 Ty=448", flops, byts, secs))
@@ -174,8 +188,11 @@ def main():
         wav = voc(pipeline.vocoder_params, mel, s)
         float(wav[0, 0])
 
-        def disp_voc(i, mel=mel, s=s):
-            return voc(pipeline.vocoder_params, mel + jnp.float32(i) * 1e-6, s)
+        mels = [mel + jnp.float32(i) * 1e-6 for i in range(2 * args.steps)]
+        jax.block_until_ready(mels)
+
+        def disp_voc(i, mels=mels, s=s):
+            return voc(pipeline.vocoder_params, mels[i], s)
 
         secs = timeit(disp_voc, lambda o: float(o[0, 0]), args.steps)
         rows.append(row(label, flops, byts, secs))

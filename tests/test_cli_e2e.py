@@ -8,6 +8,7 @@ dict, drops them in MATCHA_HOME (so no download is attempted), and drives
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -380,7 +381,10 @@ def test_auto_fused_bucket_calibrates_and_retries():
 @pytest.mark.slow
 def test_auto_bucket_packed_single_sync_with_vocoder(fabricated_ckpts, monkeypatch):
     """With a vocoder, auto mode delivers wav + mel_lengths in ONE packed
-    transfer (wav_packed): host copies must agree with the device arrays."""
+    transfer: host copies must agree with the device arrays — exactly for
+    mel_lengths, within one 24-bit PCM step for the waveform (the default
+    transfer is device-quantized wire format; pcm24_transfer=False
+    restores bit-exact f32)."""
     monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
     import jax
 
@@ -401,6 +405,99 @@ def test_auto_bucket_packed_single_sync_with_vocoder(fabricated_ckpts, monkeypat
     assert "waveform_host" in out and "mel_lengths_host" in out
     np.testing.assert_array_equal(out["mel_lengths_host"],
                                   np.asarray(out["mel_lengths"]))
+    dev = np.clip(np.asarray(out["waveform"]), -1, 1)
+    assert np.abs(out["waveform_host"] - dev).max() <= 2.0 / (2**23 - 1)
+    assert out["waveform_host"].shape[1] == out["mel"].shape[-1] * 256
+
+    exact = TTSPipeline(model, params, vocoder, vp, bias,
+                        cleaner="english_cleaners_no_espeak",
+                        pcm24_transfer=False)
+    exact.FUSED_Y_BUCKETS = (64, 128, 192, 256)
+    out = exact.synthesise_batch(tp["x"], tp["x_lengths"], key,
+                                 n_timesteps=1, fixed_y_bucket="auto")
     np.testing.assert_array_equal(out["waveform_host"],
                                   np.asarray(out["waveform"]))
-    assert out["waveform_host"].shape[1] == out["mel"].shape[-1] * 256
+
+
+def test_bf16_latency_fused_close_to_f32(fabricated_ckpts, monkeypatch):
+    """``--bf16-latency`` (TTSPipeline bf16_latency=True): the fused
+    single-jit graph runs the CFM Euler loop + vocoder tail in bf16.
+    Contract: only the decoder param subtree is cast (encoder/duration
+    params stay f32, so predicted durations are bit-identical), output is
+    f32, and the waveform deviates at bf16-rounding scale since the noise
+    is drawn in f32 and cast (flow_matching.cfm_sample)."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+    import jax.numpy as jnp
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder, process_text
+
+    ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    voc_ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    model, params = load_matcha("matcha_ljspeech", ckpt)
+    vocoder, voc_params, _ = load_vocoder("hifigan_T2_v1", voc_ckpt)
+
+    tp = process_text(0, "latency precision check", "english_cleaners_no_espeak")
+    key = jax.random.PRNGKey(0)
+    kw = dict(n_timesteps=2, length_scale=1.0, fixed_y_bucket=64)
+    p32 = TTSPipeline(model, params, vocoder, voc_params, None,
+                      "english_cleaners_no_espeak", vocoder_pallas=False)
+    p16 = TTSPipeline(model, params, vocoder, voc_params, None,
+                      "english_cleaners_no_espeak", vocoder_pallas=False,
+                      bf16_latency=True)
+
+    # the cached latency params cast exactly the decoder subtree
+    lat = p16._latency_params()["params"]
+    assert all(a.dtype == jnp.bfloat16 for a in jax.tree.leaves(lat["decoder"])
+               if jnp.issubdtype(a.dtype, jnp.floating))
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(lat["encoder"])
+               if jnp.issubdtype(a.dtype, jnp.floating))
+
+    o32 = p32.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)
+    o16 = p16.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)
+    w32, w16 = np.asarray(o32["waveform"]), np.asarray(o16["waveform"])
+    assert w16.dtype == np.float32 and np.isfinite(w16).all()
+    np.testing.assert_array_equal(np.asarray(o32["mel_lengths"]),
+                                  np.asarray(o16["mel_lengths"]))
+    # untrained tanh-regime vocoder: mean bounds the audible effect (cf.
+    # test_cli_bf16_vocoder_close_to_f32)
+    assert np.abs(w16 - w32).mean() < 0.03
+
+
+def test_pcm24_transfer_matches_f32_path(fabricated_ckpts, monkeypatch):
+    """Default wire-format transfer: the fused auto-bucket graph ships the
+    waveform as device-quantized 24-bit PCM (25% less payload). Contract:
+    unpacked waveform_host matches the f32 transfer within one 24-bit
+    quantization step, mel_lengths ride the same payload exactly, and the
+    raw bytes equal utils.pcm24_bytes(waveform) — so serve/write_wav can
+    pass them through without requantizing."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder, process_text
+    from matcha_tpu.utils.utils import pcm24_bytes
+
+    ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    voc_ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    model, params = load_matcha("matcha_ljspeech", ckpt)
+    vocoder, voc_params, _ = load_vocoder("hifigan_T2_v1", voc_ckpt)
+
+    tp = process_text(0, "wire format check", "english_cleaners_no_espeak")
+    key = jax.random.PRNGKey(0)
+    kw = dict(n_timesteps=1, length_scale=1.0, fixed_y_bucket="auto")
+    args = (model, params, vocoder, voc_params, None, "english_cleaners_no_espeak")
+    pf32 = TTSPipeline(*args, vocoder_pallas=False, pcm24_transfer=False)
+    p24 = TTSPipeline(*args, vocoder_pallas=False)  # default: pcm24 on
+
+    of = pf32.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)
+    op = p24.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)
+    assert "wav_pcm24" in op and op["wav_pcm24"].dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(of["mel_lengths_host"]),
+                                  np.asarray(op["mel_lengths_host"]))
+    wf, wp = of["waveform_host"], op["waveform_host"]
+    assert wp.dtype == np.float32
+    assert np.abs(np.clip(wf, -1, 1) - wp).max() <= 2.0 / (2**23 - 1)
+    # bytes are exactly the host encoder's output for the same waveform
+    raw = np.asarray(op["wav_pcm24"])[0, :-3].tobytes()
+    assert raw == pcm24_bytes(np.asarray(op["waveform"][0]))
+
