@@ -447,7 +447,44 @@ class Trainer:
         csv_path = os.path.join(output_dir, "csv", "metrics.csv") if "csv" in loggers else None
         external = {k: v for k, v in loggers.items() if k not in ("tensorboard", "csv")}
         self.logger = MetricLogger(tb_dir, csv_path, backends=external)
+        # Top-k retention ledger. Persisted to checkpoints/topk.json so
+        # rotation SURVIVES trainer restarts (the Lightning analog keeps
+        # ModelCheckpoint.best_k_models inside the ckpt): a fresh Trainer
+        # resuming from `last` must keep pruning the worst of the
+        # previously-saved checkpoints, not accumulate k new ones on top
+        # (caught by scripts/soak_train.py's rotation invariant).
         self._ckpt_epochs: list = []
+        self._ckpt_seq = 0
+        self._load_topk_ledger()
+
+    def _topk_ledger_path(self) -> str:
+        return os.path.join(self.output_dir, "checkpoints", "topk.json")
+
+    def _load_topk_ledger(self) -> None:
+        import json
+
+        try:
+            with open(self._topk_ledger_path()) as f:
+                entries = json.load(f)
+        except (OSError, ValueError):
+            return
+        ckpt_dir = os.path.join(self.output_dir, "checkpoints")
+        for score, seq, name in entries:
+            path = os.path.join(ckpt_dir, name)
+            if os.path.isdir(path):  # tolerate externally-deleted ckpts
+                self._ckpt_epochs.append((float(score), int(seq), path))
+                self._ckpt_seq = max(self._ckpt_seq, int(seq) + 1)
+
+    def _save_topk_ledger(self) -> None:
+        import json
+
+        if jax.process_index() != 0:
+            return
+        entries = [(s, q, os.path.basename(p)) for s, q, p in self._ckpt_epochs]
+        tmp = self._topk_ledger_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self._topk_ledger_path())
 
     # ------------------------------------------------------------------
     def init_state(self, sample_batch: dict, restore_from: Optional[str] = None) -> TrainState:
@@ -688,7 +725,8 @@ class Trainer:
             self._save(state, epochs_done, tag="last")
         if self.save_every_n_epochs and epochs_done % self.save_every_n_epochs == 0:
             path = self._save(state, epochs_done)
-            self._ckpt_epochs.append((self._monitor_score(epochs_done), len(self._ckpt_epochs), path))
+            self._ckpt_epochs.append((self._monitor_score(epochs_done), self._ckpt_seq, path))
+            self._ckpt_seq += 1
             if len(self._ckpt_epochs) > self.save_top_k:
                 self._ckpt_epochs.sort()
                 _, _, old = self._ckpt_epochs.pop(0)  # drop the worst-scoring
@@ -700,6 +738,7 @@ class Trainer:
                         os.remove(old + ".hparams.json")
                     except OSError:
                         pass
+            self._save_topk_ledger()
 
     def _save(self, state: TrainState, epochs_done: int, tag: Optional[str] = None) -> str:
         """Checkpoint the FULL training state (params + optimizer moments +

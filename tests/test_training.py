@@ -429,3 +429,47 @@ def test_trainer_devices_cap(datamodule):
     cfg_cpu = compose("train", overrides=["trainer=cpu"])
     assert cfg_cpu["trainer"]["accelerator"] == "cpu"
     assert cfg_cpu["trainer"]["devices"] == 1
+
+
+@pytest.mark.slow
+def test_topk_rotation_survives_trainer_restart(tmp_path, datamodule):
+    """save_top_k rotation across restarts (the soak's rotation
+    invariant): a FRESH Trainer resuming from `last` reloads the
+    persisted top-k ledger (checkpoints/topk.json) and keeps pruning the
+    previously-saved checkpoints — the Lightning ModelCheckpoint
+    best_k_models-in-checkpoint analog. Without the ledger every restart
+    accumulated k more checkpoints unboundedly."""
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.trainer import Trainer
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=16, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(16, 16), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16, enc_prenet=False,
+    )
+    model = MatchaTTS(**tiny)
+    out_dir = str(tmp_path / "run")
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    last = os.path.join(ckpt_dir, "last")
+
+    total_epochs = 0
+    spe = None  # steps per epoch, inferred from the first saved ckpt
+    for chunk in range(4):
+        total_epochs += 1
+        trainer = Trainer(
+            model=model, datamodule=datamodule, lr=1e-4,
+            max_epochs=total_epochs, output_dir=out_dir, seed=0,
+            save_every_n_epochs=1, save_top_k=2,
+            check_val_every_n_epoch=10,  # recency-fallback scoring path
+            log_validation_images=False,
+        )
+        trainer.fit(restore_from=last if os.path.isdir(last) else None)
+        kept = sorted(c for c in os.listdir(ckpt_dir)
+                      if c.startswith("checkpoint_") and not c.endswith(".json"))
+        if spe is None:
+            spe = int(kept[0].split("_")[1])
+        assert len(kept) <= 2, (chunk, kept)
+    # recency fallback: the two NEWEST checkpoints (epochs 3 and 4) survive
+    assert kept == [f"checkpoint_{3 * spe:06d}", f"checkpoint_{4 * spe:06d}"]
+    assert os.path.exists(os.path.join(ckpt_dir, "topk.json"))
