@@ -20,6 +20,8 @@ TPU-first differences:
 import hashlib
 import os
 import random
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -46,6 +48,31 @@ def round_up(n: int, grid: int) -> int:
     return ((n + grid - 1) // grid) * grid
 
 
+def resolve_mel_frontend(frontend: str):
+    """Pick the mel-extraction implementation for the host data path.
+
+    ``"numpy"`` — the pure-numpy pipeline (audio/mel.py, the parity
+    oracle); ``"native"`` — the C++/OpenMP frontend (native/audio/,
+    built on demand); ``"auto"`` — native when it builds, else numpy.
+    The native frontend matches numpy within 5e-4 on log-mels
+    (tests/test_native_audio.py) — far below corpus-statistics noise.
+    """
+    if frontend == "numpy":
+        return mel_spectrogram_np
+    try:
+        from matcha_tpu.audio.native import mel_spectrogram_native
+
+        # force the lazy g++ build now so failures surface here, not
+        # mid-epoch inside a worker thread
+        mel_spectrogram_native(np.zeros(4096, dtype=np.float32))
+        return mel_spectrogram_native
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        if frontend == "native":
+            raise
+        log.warning(f"native mel frontend unavailable ({e}); using numpy")
+        return mel_spectrogram_np
+
+
 class TextMelDataset:
     """One split of the corpus; items computed lazily with caching."""
 
@@ -67,8 +94,10 @@ class TextMelDataset:
         phoneme_cache: bool = True,
         mel_cache_dir: Optional[str] = None,
         load_durations: bool = False,
+        frontend: str = "numpy",
     ):
         self.filepaths_and_text = parse_filelist(filelist_path)
+        self._mel_fn = resolve_mel_frontend(frontend)
         # precomputed per-phoneme durations at <wav_dir>/durations/<stem>.npy
         self.load_durations = load_durations
         self.n_spks = n_spks
@@ -112,14 +141,17 @@ class TextMelDataset:
                 return np.load(cache_path)
         audio, sr = read_wav(filepath)
         assert sr == self.sample_rate, f"{filepath}: {sr} != {self.sample_rate}"
-        mel = mel_spectrogram_np(
+        mel = self._mel_fn(
             audio, self.n_fft, self.n_feats, self.sample_rate,
             self.hop_length, self.win_length, self.f_min, self.f_max,
         )  # (n_feats, T)
         mel = (mel - self.mel_mean) / self.mel_std
         if cache_path:
             os.makedirs(self.mel_cache_dir, exist_ok=True)
-            np.save(cache_path, mel)
+            # atomic publish: worker threads may race on the same item
+            tmp = cache_path + f".{os.getpid()}.{id(mel) & 0xFFFF}.tmp.npy"
+            np.save(tmp, mel)  # ends in .npy -> saved verbatim
+            os.replace(tmp, cache_path)
         return mel
 
     def __getitem__(self, index: int) -> dict:
@@ -206,6 +238,7 @@ class TextMelDataModule:
         load_durations: bool = False,
         phoneme_cache: bool = True,
         mel_cache_dir: Optional[str] = None,
+        frontend: str = "numpy",
         **_unused,
     ):
         self.name = name
@@ -213,13 +246,18 @@ class TextMelDataModule:
         self.n_feats = n_feats
         self.n_spks = n_spks
         self.seed = seed or 0
+        # reference num_workers (configs/data/ljspeech.yaml: 20 dataloader
+        # worker processes) -> a thread pool here: numpy FFTs and the C++
+        # frontend both release the GIL, so threads scale without the
+        # fork/pickle cost of worker processes.
+        self.num_workers = int(num_workers or 0)
         common = dict(
             n_spks=n_spks, cleaners=cleaners, add_blank=add_blank, n_fft=n_fft,
             n_feats=n_feats, sample_rate=sample_rate, hop_length=hop_length,
             win_length=win_length, f_min=f_min, f_max=f_max,
             data_statistics=data_statistics, seed=seed,
             phoneme_cache=phoneme_cache, mel_cache_dir=mel_cache_dir,
-            load_durations=load_durations,
+            load_durations=load_durations, frontend=frontend,
         )
         self._train_args = (train_filelist_path, common)
         self._valid_args = (valid_filelist_path, common)
@@ -263,12 +301,40 @@ class TextMelDataModule:
             idx = idx[: max(1, int(len(idx) * limit) if limit < 1 else int(limit))]
         yield from self._iterate(self.validset, idx)
 
+    def _load_items(self, ds: TextMelDataset, idx: List[int]) -> Iterator[dict]:
+        """Items of ``ds`` at ``idx``, IN ORDER (batch composition is
+        identical for any worker count — determinism contract).
+
+        With ``num_workers > 0``, a sliding window of futures keeps the
+        pool busy across batch boundaries while bounding in-flight items
+        (an unbounded ``Executor.map`` would race the whole epoch into
+        memory if the device loop ever stalls)."""
+        if self.num_workers <= 0:
+            for j in idx:
+                yield ds[j]
+            return
+        window = max(self.batch_size, self.num_workers * 2)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: deque = deque()
+            it = iter(idx)
+            for j in it:
+                pending.append(pool.submit(ds.__getitem__, j))
+                if len(pending) >= window:
+                    break
+            while pending:
+                done = pending.popleft()
+                for j in it:
+                    pending.append(pool.submit(ds.__getitem__, j))
+                    break
+                yield done.result()
+
     def _iterate(self, ds: TextMelDataset, idx: List[int]) -> Iterator[dict]:
-        for i in range(0, len(idx) - self.batch_size + 1, self.batch_size):
-            items = [ds[j] for j in idx[i : i + self.batch_size]]
-            yield collate_batch(items, self.n_feats, self.n_spks)
-        rem = len(idx) % self.batch_size
-        if rem and len(idx) < self.batch_size:
-            # tiny datasets: emit one short batch rather than nothing
-            items = [ds[j] for j in idx]
-            yield collate_batch(items, self.n_feats, self.n_spks)
+        n_full = (len(idx) // self.batch_size) * self.batch_size
+        take = n_full if n_full else len(idx)  # tiny datasets: one short batch
+        items_iter = self._load_items(ds, idx[:take])
+        batch_items: List[dict] = []
+        for item in items_iter:
+            batch_items.append(item)
+            if len(batch_items) == min(self.batch_size, take):
+                yield collate_batch(batch_items, self.n_feats, self.n_spks)
+                batch_items = []

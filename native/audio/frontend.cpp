@@ -51,6 +51,37 @@ void fft_radix2(float* re, float* im, int n) {
   }
 }
 
+// Real-input FFT of n samples via one n/2-point complex FFT (even samples
+// packed as the real part, odd as the imaginary part), then the standard
+// split into even/odd spectra with one twiddle pass. Halves the butterfly
+// work vs a full complex FFT of length n — the same trick pocketfft uses.
+//   x:          n real samples
+//   zre/zim:    n/2 scratch
+//   Xre/Xim:    n/2 + 1 outputs (non-negative frequencies)
+//   tw_c/tw_s:  cos/sin(2*pi*k/n), k in [0, n/2)
+void rfft(const float* x, int n, float* zre, float* zim, float* Xre,
+          float* Xim, const float* tw_c, const float* tw_s) {
+  const int N = n / 2;
+  for (int k = 0; k < N; ++k) {
+    zre[k] = x[2 * k];
+    zim[k] = x[2 * k + 1];
+  }
+  fft_radix2(zre, zim, N);
+  Xre[0] = zre[0] + zim[0];
+  Xim[0] = 0.0f;
+  Xre[N] = zre[0] - zim[0];
+  Xim[N] = 0.0f;
+  for (int k = 1; k < N; ++k) {
+    const float ar = zre[k], ai = zim[k];
+    const float br = zre[N - k], bi = -zim[N - k];  // conj(Z[N-k])
+    const float er = 0.5f * (ar + br), ei = 0.5f * (ai + bi);   // even spectrum
+    const float onr = 0.5f * (ai - bi), oni = -0.5f * (ar - br);  // odd/(2i)
+    const float c = tw_c[k], s = tw_s[k];  // e^{-2*pi*i*k/n} = c - i*s
+    Xre[k] = er + c * onr + s * oni;
+    Xim[k] = ei + c * oni - s * onr;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -84,24 +115,44 @@ int32_t mel_spectrogram_c(const float* audio, int64_t n_samples,
     window[i] = 0.5f - 0.5f * static_cast<float>(std::cos(2.0 * kPi * i / n_fft));
   }
 
+  // rfft twiddles cos/sin(2*pi*k/n_fft)
+  std::vector<float> tw_c(n_fft / 2), tw_s(n_fft / 2);
+  for (int32_t k = 0; k < n_fft / 2; ++k) {
+    tw_c[k] = static_cast<float>(std::cos(2.0 * kPi * k / n_fft));
+    tw_s[k] = static_cast<float>(std::sin(2.0 * kPi * k / n_fft));
+  }
+
+  // Mel rows are contiguous triangles (Slaney filterbank): precompute each
+  // row's nonzero band so the projection is O(band) not O(n_freq) — the
+  // dense dot is ~20x wasted work at 80 mels over 513 bins.
+  std::vector<int32_t> lo(n_mels, 0), hi(n_mels, 0);
+  for (int32_t m = 0; m < n_mels; ++m) {
+    const float* fb = mel_fb + static_cast<int64_t>(m) * n_freq;
+    int32_t a = 0;
+    while (a < n_freq && fb[a] == 0.0f) ++a;
+    int32_t b = n_freq;
+    while (b > a && fb[b - 1] == 0.0f) --b;
+    lo[m] = a;
+    hi[m] = b;
+  }
+
 #pragma omp parallel
   {
-    std::vector<float> re(n_fft), im(n_fft), mag(n_freq);
+    std::vector<float> frame_w(n_fft), zre(n_fft / 2), zim(n_fft / 2);
+    std::vector<float> re(n_freq), im(n_freq), mag(n_freq);
 #pragma omp for schedule(static)
     for (int64_t t = 0; t < n_frames; ++t) {
       const float* frame = buf.data() + t * hop;
-      for (int32_t i = 0; i < n_fft; ++i) {
-        re[i] = frame[i] * window[i];
-        im[i] = 0.0f;
-      }
-      fft_radix2(re.data(), im.data(), n_fft);
+      for (int32_t i = 0; i < n_fft; ++i) frame_w[i] = frame[i] * window[i];
+      rfft(frame_w.data(), n_fft, zre.data(), zim.data(), re.data(), im.data(),
+           tw_c.data(), tw_s.data());
       for (int32_t f = 0; f < n_freq; ++f) {
         mag[f] = std::sqrt(re[f] * re[f] + im[f] * im[f] + 1e-9f);
       }
       for (int32_t m = 0; m < n_mels; ++m) {
         const float* fb = mel_fb + static_cast<int64_t>(m) * n_freq;
         float acc = 0.0f;
-        for (int32_t f = 0; f < n_freq; ++f) acc += fb[f] * mag[f];
+        for (int32_t f = lo[m]; f < hi[m]; ++f) acc += fb[f] * mag[f];
         out[static_cast<int64_t>(m) * n_frames + t] =
             std::log(acc < 1e-5f ? 1e-5f : acc);
       }

@@ -70,6 +70,44 @@ def test_datamodule_batches(datamodule):
     assert batches[0]["y"].shape == batches[1]["y"].shape
 
 
+def _dm_variant(corpus, **kw):
+    from matcha_tpu.training.data import TextMelDataModule
+
+    args = dict(
+        name="test", train_filelist_path=corpus["train"],
+        valid_filelist_path=corpus["val"], batch_size=2,
+        cleaners=["english_cleaners_no_espeak"], n_spks=1, n_feats=16,
+        f_max=4000, data_statistics={"mel_mean": -5.5, "mel_std": 2.1},
+        seed=1,
+    )
+    args.update(kw)
+    return TextMelDataModule(**args)
+
+
+def test_datamodule_workers_deterministic(corpus, datamodule):
+    """num_workers only changes WHO loads items, never batch composition:
+    the worker-pool loader must reproduce the serial loader bit-exactly
+    (ordering contract of TextMelDataModule._load_items)."""
+    dm_workers = _dm_variant(corpus, num_workers=3)
+    serial = list(datamodule.train_batches(0)) + list(datamodule.val_batches())
+    parallel = list(dm_workers.train_batches(0)) + list(dm_workers.val_batches())
+    assert len(serial) == len(parallel)
+    for a, b in zip(serial, parallel):
+        for k in ("x", "x_lengths", "y", "y_lengths"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_datamodule_native_frontend(corpus, datamodule):
+    """The C++/OpenMP mel frontend slots into the dataset unchanged:
+    identical ids/lengths, mels within the native-vs-numpy FFT tolerance
+    (tests/test_native_audio.py) after statistics normalization."""
+    dm_native = _dm_variant(corpus, frontend="native", num_workers=2)
+    for a, b in zip(datamodule.train_batches(0), dm_native.train_batches(0)):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["y_lengths"], b["y_lengths"])
+        np.testing.assert_allclose(a["y"], b["y"], atol=1e-3)
+
+
 def test_data_statistics_tool(datamodule):
     from matcha_tpu.training.generate_data_statistics import compute_data_statistics
 
