@@ -104,7 +104,8 @@ class BatchingServer:
     def __init__(self, pipeline: TTSPipeline, max_batch: int = 8,
                  batch_window_ms: float = 10.0, n_timesteps: int = 10,
                  temperature: float = 0.667, default_rate: float = 1.0,
-                 seed: int = 1234, default_spk: int | None = None):
+                 seed: int = 1234, default_spk: int | None = None,
+                 pipelined: bool = False):
         import jax
 
         self.jax = jax
@@ -132,8 +133,24 @@ class BatchingServer:
         # are rejected at enqueue time (None until warmup() runs = accept
         # anything, e.g. tests that tolerate compiles).
         self.max_warm_x: int | None = None
+        # Dispatch/fetch pipelining (opt-in): the batcher thread only
+        # DISPATCHES device work; a responder thread fetches results and
+        # wakes clients, overlapping the ~30-45 ms result transfer with
+        # the next batch's dispatch. Measured OFF by default: on the
+        # remote-dispatch (tunnel) backend the dispatch itself blocks, so
+        # the responder only serializes fetch behind dispatch — a same-
+        # process A/B on warm graphs gave 22.6 req/s blocking vs 7.0
+        # pipelined (scripts/bench_serve.py --ab). On a locally-attached
+        # TPU where dispatch is truly async this should be revisited.
+        # maxsize bounds in-flight batches (HBM + a stall signal when the
+        # responder falls behind).
+        self.pipelined = pipelined
+        self._completion_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._in_flight = 0  # dispatched batches not yet fetched (batcher/responder)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        self._responder = threading.Thread(target=self._respond_loop, daemon=True)
+        self._responder.start()
 
     def _quantize_rate(self, rate: float) -> float:
         lo, hi = self.RATE_RANGE
@@ -209,22 +226,40 @@ class BatchingServer:
         self._stop.set()
         self._q.put(None)  # unblock the worker
         self._thread.join(timeout=5)
+        self._completion_q.put(None)  # after the batcher: no more dispatches
+        self._responder.join(timeout=5)
 
     # -- batcher thread ----------------------------------------------------
     def _take_batch(self):
+        """Merge queued requests into one batch.
+
+        Accumulate-while-busy scheduling: while a previous batch is still
+        in flight on the device, waiting costs NO device time — so keep
+        merging until the batch fills or the device frees, instead of
+        dispatching whatever trickled in during the fixed window
+        (premature dispatch fragments merges and tanks occupancy under
+        closed-loop load). The ``batch_window_ms`` clock only runs while
+        the device is idle; it restarts when the device frees so clients
+        woken by the previous batch's results can join this one."""
         first = self._q.get()
         if first is None:
             return []
         batch = [first]
         deadline = time.perf_counter() + self.batch_window_s
+        busy_prev = self._in_flight > 0
         while len(batch) < self.max_batch:
+            busy = self._in_flight > 0
+            if busy_prev and not busy:
+                # device just freed: fresh window for the woken clients
+                deadline = time.perf_counter() + self.batch_window_s
+            busy_prev = busy
             remaining = deadline - time.perf_counter()
-            if remaining <= 0:
+            if not busy and remaining <= 0:
                 break
             try:
-                nxt = self._q.get(timeout=remaining)
+                nxt = self._q.get(timeout=0.002 if busy else max(remaining, 1e-4))
             except queue.Empty:
-                break
+                continue
             if nxt is None:
                 break
             batch.append(nxt)
@@ -249,9 +284,13 @@ class BatchingServer:
             for r in batch:
                 groups.setdefault((r.speaking_rate, r.spk), []).append(r)
             for (rate, spk), reqs in groups.items():
+                with self._lock:
+                    self._in_flight += 1
                 try:
                     self._run(reqs, rate, spk)
                 except Exception as e:  # pragma: no cover - device errors
+                    with self._lock:
+                        self._in_flight -= 1
                     for r in reqs:
                         r.error = f"{type(e).__name__}: {e}"
                         r.done.set()
@@ -279,16 +318,43 @@ class BatchingServer:
             n_timesteps=self.n_timesteps, temperature=self.temperature,
             length_scale=rate, spks=spks,
         )
-        wavs = np.asarray(out["waveform"])
-        mel_lengths = np.asarray(out["mel_lengths"])
+        if self.pipelined:
+            # hand the (device-resident) results to the responder; blocks
+            # only when 2 batches already await fetch (backpressure)
+            self._completion_q.put((reqs, out))
+        else:
+            self._complete(reqs, out)
+
+    def _complete(self, reqs, out):
+        """Fetch a dispatched batch's results and wake its clients."""
+        try:
+            wavs = np.asarray(out["waveform"])
+            mel_lengths = np.asarray(out["mel_lengths"])
+        except Exception as e:  # pragma: no cover - device errors
+            with self._lock:
+                self._in_flight -= 1
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+                r.done.set()
+            return
         self.n_batches += 1
         with self._lock:  # pairs with submit()'s timeout re-check
+            self._in_flight -= 1
             for i, r in enumerate(reqs):
                 n = int(mel_lengths[i])
                 r.n_frames = n
                 r.wav = wavs[i, : n * HOP]
                 r.t_done = time.perf_counter()
                 r.done.set()
+
+    def _respond_loop(self):
+        """Fetch completed batches and wake their clients — runs parallel
+        to the batcher so result transfer overlaps the next dispatch."""
+        while True:
+            item = self._completion_q.get()
+            if item is None:
+                return
+            self._complete(*item)
 
     # -- warmup ------------------------------------------------------------
     def warmup(self, pairs):

@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--window-ms", type=float, default=10.0)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="opt into the dispatch/fetch pipelined scheduler "
+                         "(measured slower on the remote-dispatch tunnel "
+                         "backend; see BatchingServer.pipelined)")
+    ap.add_argument("--ab", action="store_true",
+                    help="measure both schedulers back-to-back in one "
+                         "process (same warm graphs + tunnel weather)")
     args = ap.parse_args()
 
     from bench import build_pipeline  # random weights; identical compute cost
@@ -54,88 +61,100 @@ def main():
     pipeline.cleaner = "english_cleaners_no_espeak"
     batcher = BatchingServer(pipeline, max_batch=args.max_batch,
                              batch_window_ms=args.window_ms,
-                             n_timesteps=args.steps, default_rate=3.5)
-    # Warm through the REAL request path: sequential (B=1 shapes) then
-    # fully-concurrent rounds (merged power-of-2 batch shapes), so the
-    # timed window hits only compiled graphs.
-    print("warming (sequential)...", flush=True)
-    for s in SENTENCES:
-        batcher.submit(s, timeout_s=1200.0)
-    for round_i in range(2):
-        print(f"warming (concurrent round {round_i})...", flush=True)
-        ws = [threading.Thread(target=batcher.submit, args=(s, None, None, 1200.0))
-              for s in SENTENCES[: args.clients]]
-        for t in ws:
-            t.start()
-        for t in ws:
-            t.join()
-
-    lat_ms, audio_s, ttfa_ms = [], [], []
-    lock = threading.Lock()
-    stop = time.perf_counter() + args.duration
-    n0_batches, n0_reqs = batcher.n_batches, batcher.n_requests
+                             n_timesteps=args.steps, default_rate=3.5,
+                             pipelined=args.pipeline)
 
     LONG_TEXT = " ".join(SENTENCES[:4])  # multi-sentence article chunk
 
-    def client(ci):
-        rng = np.random.default_rng(ci)
-        while time.perf_counter() < stop:
-            if ci == 0:
-                # Streaming client: time-to-first-audio over a long text —
-                # the serving differentiator the reference has no answer to
-                # (serve.py submit_stream: one dispatch, not the article).
-                t0 = time.perf_counter()
-                first = None
-                for r in batcher.submit_stream(LONG_TEXT, max_chars=80,
-                                               timeout_s=600.0):
-                    if r.error:
-                        raise RuntimeError(r.error)
-                    if first is None:
-                        first = time.perf_counter()
+    def run_window(duration):
+        """Drive the offered load for ``duration`` s; returns samples."""
+        lat_ms, audio_s, ttfa_ms = [], [], []
+        lock = threading.Lock()
+        stop = time.perf_counter() + duration
+
+        def client(ci):
+            rng = np.random.default_rng(ci)
+            while time.perf_counter() < stop:
+                if ci == 0:
+                    # Streaming client: time-to-first-audio over a long
+                    # text — the serving differentiator the reference has
+                    # no answer to (serve.py submit_stream: one dispatch,
+                    # not the whole article).
+                    t0 = time.perf_counter()
+                    first = None
+                    for r in batcher.submit_stream(LONG_TEXT, max_chars=80,
+                                                   timeout_s=1200.0):
+                        if r.error:
+                            raise RuntimeError(r.error)
+                        if first is None:
+                            first = time.perf_counter()
+                        with lock:
+                            audio_s.append(len(r.wav) / 22050.0)
                     with lock:
-                        audio_s.append(len(r.wav) / 22050.0)
+                        ttfa_ms.append((first - t0) * 1e3)
+                    continue
+                s = SENTENCES[rng.integers(0, len(SENTENCES))]
+                t0 = time.perf_counter()
+                r = batcher.submit(s, timeout_s=1200.0)
+                t1 = time.perf_counter()
+                if r.error:
+                    raise RuntimeError(r.error)
                 with lock:
-                    ttfa_ms.append((first - t0) * 1e3)
-                continue
-            s = SENTENCES[rng.integers(0, len(SENTENCES))]
-            t0 = time.perf_counter()
-            r = batcher.submit(s, timeout_s=600.0)
-            t1 = time.perf_counter()
-            if r.error:
-                raise RuntimeError(r.error)
-            with lock:
-                lat_ms.append((t1 - t0) * 1e3)
-                audio_s.append(len(r.wav) / 22050.0)
+                    lat_ms.append((t1 - t0) * 1e3)
+                    audio_s.append(len(r.wav) / 22050.0)
 
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(args.clients)]
-    t_start = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t_start
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(args.clients)]
+        t_start = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_start
+        return lat_ms, audio_s, ttfa_ms, wall
 
-    n_req = len(lat_ms)
-    n_disp = batcher.n_batches - n0_batches
-    result = {
-        "clients": args.clients, "window_ms": args.window_ms,
-        "max_batch": args.max_batch,
-        "req_per_s": round(n_req / wall, 1),
-        "audio_x_realtime": round(sum(audio_s) / wall, 1),
-        "latency_ms": ({p: round(float(np.percentile(lat_ms, q)), 1)
-                        for p, q in (("p50", 50), ("p90", 90), ("p99", 99))}
-                       if lat_ms else None),
-        "batch_occupancy": round(n_req / max(n_disp, 1), 2),
-        # time-to-first-audio-chunk for streamed long-form under load;
-        # target: < 100 ms p50 once a chunk rides a warm batch
-        "ttfa_ms": ({p: round(float(np.percentile(ttfa_ms, q)), 1)
-                     for p, q in (("p50", 50), ("p90", 90))}
-                    if ttfa_ms else None),
-        "ttfa_target_ms": 100.0,
-    }
+    # Warm through the REAL offered-load path until quiescent: the batcher
+    # merges queued requests into data-dependent (B, T_x, T_y) shapes, so a
+    # fixed warm script can miss merge shapes the timed window will hit
+    # (each miss = a minutes-long compile stalling every client). Sequential
+    # pass first (B=1 shapes), then load windows until one runs compile-free
+    # (p99 under a second = no compile happened in it).
+    print("warming (sequential)...", flush=True)
+    for s in SENTENCES:
+        batcher.submit(s, timeout_s=1200.0)
+    for round_i in range(20):
+        print(f"warming (load window {round_i})...", flush=True)
+        lat_ms, _, _, _ = run_window(5.0)
+        if lat_ms and float(np.percentile(lat_ms, 99)) < 1000.0:
+            break
+
     import json
 
-    print(json.dumps(result))
+    modes = ([False, True] if args.ab else [args.pipeline])
+    for mode in modes:
+        batcher.pipelined = mode
+        n0_batches, n0_reqs = batcher.n_batches, batcher.n_requests
+        lat_ms, audio_s, ttfa_ms, wall = run_window(args.duration)
+
+        n_req = len(lat_ms)
+        n_disp = batcher.n_batches - n0_batches
+        result = {
+            "clients": args.clients, "window_ms": args.window_ms,
+            "max_batch": args.max_batch, "pipelined": mode,
+            "req_per_s": round(n_req / wall, 1),
+            "audio_x_realtime": round(sum(audio_s) / wall, 1),
+            "latency_ms": ({p: round(float(np.percentile(lat_ms, q)), 1)
+                            for p, q in (("p50", 50), ("p90", 90), ("p99", 99))}
+                           if lat_ms else None),
+            "batch_occupancy": round(n_req / max(n_disp, 1), 2),
+            # time-to-first-audio-chunk for streamed long-form under load;
+            # target: < 100 ms p50 once a chunk rides a warm batch
+            "ttfa_ms": ({p: round(float(np.percentile(ttfa_ms, q)), 1)
+                         for p, q in (("p50", 50), ("p90", 90))}
+                        if ttfa_ms else None),
+            "ttfa_target_ms": 100.0,
+        }
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

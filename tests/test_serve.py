@@ -160,6 +160,35 @@ def test_enqueue_quantizes_rate_and_applies_defaults():
         b._enqueue("this sentence is far beyond eight ids", None, None)
 
 
+def test_pipelined_scheduler_opt_in(batcher):
+    """The opt-in dispatch/fetch pipelined scheduler (default OFF — see
+    BatchingServer.pipelined) returns the same well-formed results and
+    drains its in-flight ledger back to zero."""
+    from matcha_tpu.serve import BatchingServer
+
+    b = BatchingServer(batcher.pipeline, max_batch=4, batch_window_ms=50.0,
+                       n_timesteps=1, pipelined=True)
+    try:
+        results = [None] * 3
+        texts = ["hello there", "more words", "short"]
+
+        def worker(i):
+            results[i] = b.submit(texts[i], timeout_s=300.0)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for r in results:
+            assert r.error is None
+            assert r.wav is not None and r.wav.size == r.n_frames * 256
+            assert np.isfinite(r.wav).all()
+        assert b._in_flight == 0
+    finally:
+        b.shutdown()
+
+
 def test_parse_warmup():
     from matcha_tpu.serve import _parse_warmup
 
