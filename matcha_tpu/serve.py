@@ -114,7 +114,10 @@ class BatchingServer:
         self.batch_window_s = batch_window_ms / 1e3
         self.n_timesteps = n_timesteps
         self.temperature = temperature
-        self.default_rate = self._quantize_rate(default_rate)
+        # Operator-chosen default rate is trusted verbatim (it defines ONE
+        # trace group and is warmed below); only per-request client rates
+        # are quantized/clamped, since those drive unbounded compiles.
+        self.default_rate = float(default_rate)
         # Default speaker for multispeaker models: a request that omits
         # "spk" must not reach MatchaTTS._speaker(None) (spk embedding
         # lookup needs an id), so the registry/CLI default applies here.
@@ -172,8 +175,8 @@ class BatchingServer:
                 f"/synthesise_long) or restart with a bigger --warmup")
         req = _Request(
             seq=np.asarray(seq, np.int32),
-            speaking_rate=self._quantize_rate(
-                speaking_rate if speaking_rate is not None else self.default_rate),
+            speaking_rate=(self.default_rate if speaking_rate is None
+                           else self._quantize_rate(speaking_rate)),
             spk=self.default_spk if spk is None else int(spk),
         )
         with self._lock:
@@ -192,6 +195,38 @@ class BatchingServer:
                     req.error = "timeout"
         return req
 
+    def _fit_chunks(self, text: str, max_chars: int) -> list[str]:
+        """Sentence-chunk ``text`` so every chunk fits the warmed x-buckets.
+
+        The char budget is first clamped to what ``max_warm_x`` can hold
+        (intersperse emits ~2 ids per cleaned symbol), then each chunk is
+        verified at the ID level and re-split when the cleaner expanded it
+        past the bucket (e.g. "1999" -> "nineteen ninety nine") — without
+        this, a default ``max_chars`` larger than the warmed bucket made
+        every /synthesise_long|_stream request fail the too-long guard."""
+        from matcha_tpu.text import text_to_sequence
+        from matcha_tpu.text.segment import split_sentences
+
+        if self.max_warm_x is not None:
+            max_chars = min(max_chars, max(8, (self.max_warm_x - 1) // 2))
+        chunks = split_sentences(text, max_chars=max_chars)
+        if self.max_warm_x is None:
+            return chunks
+        out: list[str] = []
+        pending = list(chunks)
+        while pending:
+            c = pending.pop(0)
+            n_ids = 2 * len(text_to_sequence(c, [self.pipeline.cleaner])) + 1
+            if n_ids <= self.max_warm_x:
+                out.append(c)
+                continue
+            halves = split_sentences(c, max_chars=max(8, len(c) // 2))
+            if len(halves) <= 1:
+                out.append(c)  # unsplittable: _enqueue raises a clear 400
+            else:
+                pending = halves + pending
+        return out
+
     def submit_stream(self, text: str, speaking_rate: float | None = None,
                       spk: int | None = None, timeout_s: float = 600.0,
                       max_chars: int = 200):
@@ -199,13 +234,15 @@ class BatchingServer:
         once (they merge into device batches), then yield each chunk's
         completed request IN ORDER as it finishes — time-to-first-audio is
         one dispatch, not the whole article."""
-        from matcha_tpu.text.segment import split_sentences
-
-        chunks = split_sentences(text, max_chars=max_chars)
+        chunks = self._fit_chunks(text, max_chars)
         reqs = [self._enqueue(c, speaking_rate, spk) for c in chunks]
         for r in reqs:
             if not r.done.wait(timeout_s):
-                r.error = "timeout"
+                # same locked re-check as submit(): a chunk completed
+                # between wait() expiry and here keeps its result
+                with self._lock:
+                    if not r.done.is_set():
+                        r.error = "timeout"
             yield r
 
     def submit_long(self, text: str, speaking_rate: float | None = None,
@@ -226,7 +263,9 @@ class BatchingServer:
         self._stop.set()
         self._q.put(None)  # unblock the worker
         self._thread.join(timeout=5)
-        self._completion_q.put(None)  # after the batcher: no more dispatches
+        # The responder's sentinel is enqueued by the batcher itself when
+        # its loop exits (_loop tail) so it can never overtake a batch the
+        # batcher is still dispatching; here we only wait.
         self._responder.join(timeout=5)
 
     # -- batcher thread ----------------------------------------------------
@@ -266,6 +305,14 @@ class BatchingServer:
         return batch
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        finally:
+            # ordered after every dispatch this thread made: the responder
+            # drains all queued batches, then exits
+            self._completion_q.put(None)
+
+    def _loop_inner(self):
         while not self._stop.is_set():
             batch = self._take_batch()
             if not batch:

@@ -725,6 +725,11 @@ class Trainer:
             self._save(state, epochs_done, tag="last")
         if self.save_every_n_epochs and epochs_done % self.save_every_n_epochs == 0:
             path = self._save(state, epochs_done)
+            # A re-run over the same output_dir (crash-restart without
+            # resume) re-saves a step the loaded ledger already lists:
+            # replace that entry instead of duplicating it, else rotation
+            # later rmtree's a path a live entry still claims as retained.
+            self._ckpt_epochs = [e for e in self._ckpt_epochs if e[2] != path]
             self._ckpt_epochs.append((self._monitor_score(epochs_done), self._ckpt_seq, path))
             self._ckpt_seq += 1
             if len(self._ckpt_epochs) > self.save_top_k:

@@ -289,7 +289,9 @@ def print_config_tree(cfg: dict, save_to_file: bool = False) -> None:
     text = format_config_tree(cfg)
     print(text)
     out_dir = cfg.get("paths", {}).get("output_dir")
-    if save_to_file and out_dir and os.path.isdir(str(out_dir)):
+    if save_to_file and out_dir:
+        # extras() runs before train() creates the run directory
+        os.makedirs(str(out_dir), exist_ok=True)
         with open(os.path.join(str(out_dir), "config_tree.log"), "w",
                   encoding="utf-8") as f:
             f.write(text + "\n")

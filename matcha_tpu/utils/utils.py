@@ -41,7 +41,7 @@ def extras(cfg) -> None:
         warnings.filterwarnings("ignore")
 
     if cfg.extras.get("enforce_tags"):
-        enforce_tags(cfg)
+        enforce_tags(cfg, save_to_file=True)
 
     if cfg.extras.get("print_config"):
         from matcha_tpu.utils.config import print_config_tree
@@ -72,7 +72,9 @@ def enforce_tags(cfg, save_to_file: bool = False) -> None:
     cfg["tags"] = tags
     log.info(f"Tags: {tags}")
     out_dir = cfg.get("paths", {}).get("output_dir")
-    if save_to_file and out_dir and os.path.isdir(str(out_dir)):
+    if save_to_file and out_dir:
+        # extras() runs before train() creates the run directory
+        os.makedirs(str(out_dir), exist_ok=True)
         with open(os.path.join(str(out_dir), "tags.log"), "w", encoding="utf-8") as f:
             f.write(", ".join(tags) + "\n")
 

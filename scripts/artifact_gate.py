@@ -41,14 +41,23 @@ def record(status, detail, **extra):
 
 
 def try_download(url, dest, timeout=60):
+    # Stream into a .tmp and os.replace on success: an interrupted download
+    # must not leave a truncated file that future runs mistake for the
+    # artifact (os.path.exists(dest) skips re-download).
     os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".tmp"
     req = urllib.request.Request(url, headers={"User-Agent": "matcha-tpu-gate"})
-    with urllib.request.urlopen(req, timeout=timeout) as r, open(dest, "wb") as f:
-        while True:
-            chunk = r.read(1 << 20)
-            if not chunk:
-                break
-            f.write(chunk)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return dest
 
 

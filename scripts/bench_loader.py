@@ -51,7 +51,9 @@ def run(fl: str, frontend: str, workers: int, batch_size: int = 32,
         batch_size=batch_size, num_workers=workers,
         cleaners=["english_cleaners_no_espeak"],
         data_statistics={"mel_mean": -5.5, "mel_std": 2.1},
-        seed=1, frontend=frontend, phoneme_cache=False,
+        # steady-state training protocol (and the docstring's claim):
+        # phonemes cached after the warm-up epoch, mel is the hot op
+        seed=1, frontend=frontend, phoneme_cache=True,
         mel_cache_dir=mel_cache_dir,
     )
     # warm-up epoch builds the native lib / numpy caches out of the timing

@@ -74,6 +74,12 @@ def test_config_tree_render_and_save(tmp_path):
     print_config_tree(cfg, save_to_file=True)
     assert (tmp_path / "config_tree.log").read_text().startswith("CONFIG")
 
+    # extras() runs BEFORE train() creates the run dir: a fresh (not yet
+    # existing) output_dir must be created, not silently skipped
+    cfg["paths"]["output_dir"] = str(tmp_path / "fresh" / "run")
+    print_config_tree(cfg, save_to_file=True)
+    assert (tmp_path / "fresh" / "run" / "config_tree.log").exists()
+
 
 def test_enforce_tags_noninteractive_default_and_save(tmp_path):
     """enforce_tags (rich_utils.py:80-101 analog): fills ["dev"] when no
@@ -82,10 +88,11 @@ def test_enforce_tags_noninteractive_default_and_save(tmp_path):
 
     from matcha_tpu.utils.utils import enforce_tags
 
-    cfg = {"tags": None, "paths": {"output_dir": str(tmp_path)}}
+    cfg = {"tags": None, "paths": {"output_dir": str(tmp_path / "new_run")}}
     enforce_tags(cfg, save_to_file=True)
     assert cfg["tags"] == ["dev"]
-    assert (tmp_path / "tags.log").read_text().strip() == "dev"
+    # the run dir is created if extras() runs before train() makes it
+    assert (tmp_path / "new_run" / "tags.log").read_text().strip() == "dev"
 
     cfg2 = {"tags": ["keep"], "paths": {}}
     enforce_tags(cfg2)

@@ -189,6 +189,52 @@ def test_pipelined_scheduler_opt_in(batcher):
         b.shutdown()
 
 
+def test_fit_chunks_respects_warmed_bucket():
+    """Long-form chunking must produce chunks that FIT the warmed x-bucket
+    even when the cleaner expands the text (numbers -> words), else every
+    /synthesise_long|_stream request 400s under the too-long guard."""
+    from matcha_tpu.serve import BatchingServer
+    from matcha_tpu.text import text_to_sequence
+
+    b = object.__new__(BatchingServer)  # no device work: _fit_chunks only
+    b.pipeline = type("P", (), {"cleaner": "english_cleaners_no_espeak"})()
+    b.max_warm_x = 64
+
+    text = ("The year 1999 was quite memorable for many people. "
+            "Speech synthesis improved dramatically in recent years. "
+            "Monotonic alignment search finds the best path through the grid.")
+    chunks = b._fit_chunks(text, max_chars=200)  # default endpoint budget
+    assert len(chunks) >= 2
+    assert " ".join(chunks).split() == text.split()  # no words lost
+    for c in chunks:
+        n_ids = 2 * len(text_to_sequence(c, ["english_cleaners_no_espeak"])) + 1
+        assert n_ids <= 64, f"chunk exceeds warmed bucket: {c!r} -> {n_ids}"
+
+    # no warmed bucket -> plain sentence chunking, nothing rejected
+    b.max_warm_x = None
+    assert b._fit_chunks(text, max_chars=200)
+
+
+def test_default_rate_is_trusted_verbatim():
+    """Operator default_rate defines one warmed trace group and is NOT
+    clamped to the client range (bench parity: bench.py LENGTH_SCALE=3.5);
+    client-provided rates still snap to the finite compile surface."""
+    import queue as _queue
+
+    from matcha_tpu.serve import BatchingServer
+
+    b = object.__new__(BatchingServer)
+    b.pipeline = type("P", (), {"cleaner": "english_cleaners_no_espeak"})()
+    b.default_rate = 3.5  # as __init__ now stores it verbatim
+    b.default_spk = None
+    b.max_warm_x = None
+    b._lock = threading.Lock()
+    b.n_requests = 0
+    b._q = _queue.Queue()
+    assert b._enqueue("hello", None, None).speaking_rate == 3.5
+    assert b._enqueue("hello", 3.5, None).speaking_rate == 2.0  # client rate clamps
+
+
 def test_parse_warmup():
     from matcha_tpu.serve import _parse_warmup
 

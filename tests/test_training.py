@@ -511,3 +511,44 @@ def test_topk_rotation_survives_trainer_restart(tmp_path, datamodule):
     # recency fallback: the two NEWEST checkpoints (epochs 3 and 4) survive
     assert kept == [f"checkpoint_{3 * spe:06d}", f"checkpoint_{4 * spe:06d}"]
     assert os.path.exists(os.path.join(ckpt_dir, "topk.json"))
+
+
+@pytest.mark.slow
+def test_topk_ledger_deduplicates_resaved_paths(tmp_path, datamodule):
+    """A re-run over the same output_dir WITHOUT resume re-saves the same
+    step names the loaded ledger already lists; the entry must be REPLACED,
+    not duplicated — a duplicate lets rotation rmtree a directory another
+    live entry still claims as retained (effective top-k < save_top_k)."""
+    import json
+
+    from matcha_tpu.models import MatchaTTS
+    from matcha_tpu.training.trainer import Trainer
+
+    tiny = dict(
+        n_vocab=178, n_feats=16, enc_n_channels=16, enc_filter_channels=32,
+        enc_filter_channels_dp=16, enc_n_heads=2, enc_n_layers=1,
+        dec_channels=(16, 16), dec_num_mid_blocks=1, dec_num_heads=1,
+        dec_attention_head_dim=16, enc_prenet=False,
+    )
+    model = MatchaTTS(**tiny)
+    out_dir = str(tmp_path / "run")
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    for _ in range(2):  # second run re-trains the SAME epochs from scratch
+        trainer = Trainer(
+            model=model, datamodule=datamodule, lr=1e-4,
+            max_epochs=2, output_dir=out_dir, seed=0,
+            save_every_n_epochs=1, save_top_k=2,
+            check_val_every_n_epoch=10, log_validation_images=False,
+        )
+        trainer.fit(restore_from=None)
+        names = [e[2] for e in trainer._ckpt_epochs]
+        assert len(names) == len(set(names)), f"duplicate ledger entries: {names}"
+
+    with open(os.path.join(ckpt_dir, "topk.json")) as f:
+        entries = json.load(f)
+    names = [name for _, _, name in entries]
+    assert len(names) == len(set(names))
+    assert len(names) <= 2
+    for name in names:  # every retained entry still exists on disk
+        assert os.path.isdir(os.path.join(ckpt_dir, name)), name
