@@ -339,9 +339,28 @@ class TTSPipeline:
 
     def _vocode_fn(self):
         """One jitted mel->wav stage (see _vocode_tail)."""
-        if not self._vocode_cache:
+        if "fn" not in self._vocode_cache:
             self._vocode_cache["fn"] = self.jax.jit(self._vocode_tail())
         return self._vocode_cache["fn"]
+
+    def _vocode_packed_fn(self):
+        """One jitted mel->wav->24-bit-PCM stage for the serving path.
+
+        The waveform is quantized ON DEVICE (``_pack_pcm24``) with the
+        per-row mel_lengths riding as a trailing 3-byte sample, so a
+        batch's samples AND lengths arrive in ONE uint8 transfer: vs the
+        f32 waveform + separate mel_lengths fetch this saves 25% of the
+        payload plus a full tunnel round trip (~28 ms) per batch."""
+        if "packed" not in self._vocode_cache:
+            jnp = self.jax.numpy
+            vocode = self._vocode_tail()
+
+            def packed(voc_params, mel_btc, strength, mel_lengths):
+                return _pack_pcm24(jnp, vocode(voc_params, mel_btc, strength),
+                                   mel_lengths)
+
+            self._vocode_cache["packed"] = self.jax.jit(packed)
+        return self._vocode_cache["packed"]
 
     def _fused_fn(self, T_x: int, T_y: int, n_timesteps: int, temperature: float,
                   length_scale: float, has_spks: bool):
@@ -417,8 +436,13 @@ class TTSPipeline:
     def synthesise_batch(self, x: np.ndarray, x_lengths: np.ndarray, key,
                          n_timesteps: int = 10, temperature: float = 0.667,
                          length_scale: float = 1.0, spks=None,
-                         fixed_y_bucket=0):
+                         fixed_y_bucket=0, pack_wav: bool = False):
         """Returns the reference synthesise dict + 'waveform' (if vocoder).
+
+        ``pack_wav`` (dynamic path, vocoder present): ship the result as
+        device-quantized 24-bit PCM with mel_lengths appended
+        (``out["wav_pcm24"]``, see ``_vocode_packed_fn``) instead of the
+        f32 ``waveform`` — the serving daemon's wire-format transfer.
 
         With ``fixed_y_bucket`` the whole text->wav pipeline is ONE fused
         jit call (no host sync); ``"auto"`` picks the tightest fused bucket
@@ -494,9 +518,14 @@ class TTSPipeline:
             # padding tail never reaches the (dominant-cost) vocoder.
             T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
             mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]  # (B, T_voc, 80)
-            out["waveform"] = self._vocode_fn()(
-                self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
-            )
+            if pack_wav:
+                out["wav_pcm24"] = self._vocode_packed_fn()(
+                    self.vocoder_params, mel_btc,
+                    jnp.float32(self.denoiser_strength), out["mel_lengths"])
+            else:
+                out["waveform"] = self._vocode_fn()(
+                    self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
+                )
         return out
 
     def synthesise_corpus(self, utterances, key, n_timesteps: int = 10,

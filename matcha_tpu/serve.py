@@ -364,7 +364,16 @@ class BatchingServer:
             x, xl, self.jax.random.fold_in(self._key, self._n_calls),
             n_timesteps=self.n_timesteps, temperature=self.temperature,
             length_scale=rate, spks=spks,
+            # wire-format result: device-quantized 24-bit PCM + lengths in
+            # ONE transfer (25% less payload + one fewer tunnel round trip)
+            pack_wav=self.pipeline.pcm24_transfer,
         )
+        if B_real < B and self.pipeline.mesh is None:
+            # trim the power-of-2 padding rows BEFORE the host fetch (a
+            # cheap device slice; up to ~43% less transfer at B_real=B/2+1)
+            for k in ("wav_pcm24", "waveform", "mel_lengths"):
+                if k in out:
+                    out[k] = out[k][:B_real]
         if self.pipelined:
             # hand the (device-resident) results to the responder; blocks
             # only when 2 batches already await fetch (backpressure)
@@ -375,8 +384,13 @@ class BatchingServer:
     def _complete(self, reqs, out):
         """Fetch a dispatched batch's results and wake its clients."""
         try:
-            wavs = np.asarray(out["waveform"])
-            mel_lengths = np.asarray(out["mel_lengths"])
+            if "wav_pcm24" in out:
+                from matcha_tpu.cli import _unpack_pcm24
+
+                wavs, mel_lengths = _unpack_pcm24(np.asarray(out["wav_pcm24"]))
+            else:
+                wavs = np.asarray(out["waveform"])
+                mel_lengths = np.asarray(out["mel_lengths"])
         except Exception as e:  # pragma: no cover - device errors
             with self._lock:
                 self._in_flight -= 1
@@ -438,11 +452,19 @@ class BatchingServer:
                     self.jax.numpy.asarray(xl), y_lengths,
                     self.jax.random.PRNGKey(0), spks=spks)
                 if self.pipeline.vocoder is not None:
-                    mel_btc = self.jax.numpy.swapaxes(out["mel"], 1, 2)
+                    jnp = self.jax.numpy
+                    mel_btc = jnp.swapaxes(out["mel"], 1, 2)
                     for T_voc in voc_lens:
-                        self.pipeline._vocode_fn()(
-                            self.pipeline.vocoder_params, mel_btc[:, :T_voc],
-                            self.jax.numpy.float32(self.pipeline.denoiser_strength))
+                        if self.pipeline.pcm24_transfer:
+                            # warm the SAME packed graph _run dispatches
+                            self.pipeline._vocode_packed_fn()(
+                                self.pipeline.vocoder_params, mel_btc[:, :T_voc],
+                                jnp.float32(self.pipeline.denoiser_strength),
+                                out["mel_lengths"])
+                        else:
+                            self.pipeline._vocode_fn()(
+                                self.pipeline.vocoder_params, mel_btc[:, :T_voc],
+                                jnp.float32(self.pipeline.denoiser_strength))
         if pairs:
             # from here on, reject texts that would outgrow the warmed set
             # (each would stall all queued traffic on a minutes-long compile)

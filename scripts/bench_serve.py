@@ -67,10 +67,24 @@ def main():
     LONG_TEXT = " ".join(SENTENCES[:4])  # multi-sentence article chunk
 
     def run_window(duration):
-        """Drive the offered load for ``duration`` s; returns samples."""
-        lat_ms, audio_s, ttfa_ms = [], [], []
+        """Drive the offered load for ``duration`` s; returns samples.
+
+        Throughput counts only requests COMPLETED INSIDE the window,
+        divided by the window length: a straggler (e.g. a fresh-shape
+        compile straddling the window end) extends the thread-join wall
+        by minutes and would otherwise divide the whole sample count by
+        it, under-reporting steady-state rate ~5x. Stragglers are counted
+        separately so a compile in the window stays visible."""
+        lat_ms, ttfa_ms = [], []
+        audio_in_window = []  # audio seconds of completions inside the window
+        n_req_in_window = [0]  # non-streaming requests completed inside it
+        # completions > 2 s past the window end: the natural tail (each
+        # client's final in-flight request) lands within one batch time of
+        # stop; only compile-scale lateness counts as a straggler
+        stragglers = [0]
         lock = threading.Lock()
         stop = time.perf_counter() + duration
+        late = stop + 2.0
 
         def client(ci):
             rng = np.random.default_rng(ci)
@@ -86,10 +100,14 @@ def main():
                                                    timeout_s=1200.0):
                         if r.error:
                             raise RuntimeError(r.error)
+                        t1 = time.perf_counter()
                         if first is None:
-                            first = time.perf_counter()
+                            first = t1
                         with lock:
-                            audio_s.append(len(r.wav) / 22050.0)
+                            if t1 < stop:
+                                audio_in_window.append(len(r.wav) / 22050.0)
+                            elif t1 > late:
+                                stragglers[0] += 1
                     with lock:
                         ttfa_ms.append((first - t0) * 1e3)
                     continue
@@ -101,17 +119,20 @@ def main():
                     raise RuntimeError(r.error)
                 with lock:
                     lat_ms.append((t1 - t0) * 1e3)
-                    audio_s.append(len(r.wav) / 22050.0)
+                    if t1 < stop:
+                        n_req_in_window[0] += 1
+                        audio_in_window.append(len(r.wav) / 22050.0)
+                    elif t1 > late:
+                        stragglers[0] += 1
 
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(args.clients)]
-        t_start = time.perf_counter()
         for t in threads:
             t.start()
         for t in threads:
             t.join()
-        wall = time.perf_counter() - t_start
-        return lat_ms, audio_s, ttfa_ms, wall
+        return (lat_ms, ttfa_ms, n_req_in_window[0],
+                sum(audio_in_window), duration, stragglers[0])
 
     # Warm through the REAL offered-load path until quiescent: the batcher
     # merges queued requests into data-dependent (B, T_x, T_y) shapes, so a
@@ -122,10 +143,16 @@ def main():
     print("warming (sequential)...", flush=True)
     for s in SENTENCES:
         batcher.submit(s, timeout_s=1200.0)
+    quiet = 0
     for round_i in range(20):
         print(f"warming (load window {round_i})...", flush=True)
-        lat_ms, _, _, _ = run_window(5.0)
-        if lat_ms and float(np.percentile(lat_ms, 99)) < 1000.0:
+        lat_ms, _, _, _, _, n_strag = run_window(5.0)
+        # quiescent = no compile evidence in the window (sub-second p99 AND
+        # no straggler); require two in a row before trusting the shapes
+        quiet = (quiet + 1 if (lat_ms and n_strag == 0
+                               and float(np.percentile(lat_ms, 99)) < 1000.0)
+                 else 0)
+        if quiet >= 2:
             break
 
     import json
@@ -134,19 +161,21 @@ def main():
     for mode in modes:
         batcher.pipelined = mode
         n0_batches, n0_reqs = batcher.n_batches, batcher.n_requests
-        lat_ms, audio_s, ttfa_ms, wall = run_window(args.duration)
+        lat_ms, ttfa_ms, n_req, audio_sec, wall, n_strag = run_window(args.duration)
 
-        n_req = len(lat_ms)
         n_disp = batcher.n_batches - n0_batches
         result = {
             "clients": args.clients, "window_ms": args.window_ms,
             "max_batch": args.max_batch, "pipelined": mode,
             "req_per_s": round(n_req / wall, 1),
-            "audio_x_realtime": round(sum(audio_s) / wall, 1),
+            "audio_x_realtime": round(audio_sec / wall, 1),
             "latency_ms": ({p: round(float(np.percentile(lat_ms, q)), 1)
                             for p, q in (("p50", 50), ("p90", 90), ("p99", 99))}
                            if lat_ms else None),
-            "batch_occupancy": round(n_req / max(n_disp, 1), 2),
+            "max_latency_ms": round(max(lat_ms), 1) if lat_ms else None,
+            "stragglers": n_strag,
+            "batch_occupancy": round((batcher.n_requests - n0_reqs)
+                                     / max(n_disp, 1), 2),
             # time-to-first-audio-chunk for streamed long-form under load;
             # under saturation TTFA is bounded below by the in-flight
             # batch's dispatch (~1-2 batch times), so the <100 ms target

@@ -501,3 +501,17 @@ def test_pcm24_transfer_matches_f32_path(fabricated_ckpts, monkeypatch):
     raw = np.asarray(op["wav_pcm24"])[0, :-3].tobytes()
     assert raw == pcm24_bytes(np.asarray(op["waveform"][0]))
 
+    # DYNAMIC path (serve's): pack_wav ships the same wire format — the
+    # unpacked waveform matches the f32 transfer within one quantization
+    # step and mel_lengths ride the same payload
+    from matcha_tpu.cli import _unpack_pcm24
+
+    od = pf32.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1)
+    ok = p24.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1,
+                              pack_wav=True)
+    assert "waveform" not in ok and ok["wav_pcm24"].dtype == jnp.uint8
+    wav_k, ml_k = _unpack_pcm24(np.asarray(ok["wav_pcm24"]))
+    np.testing.assert_array_equal(np.asarray(od["mel_lengths"]), ml_k)
+    assert np.abs(np.clip(np.asarray(od["waveform"]), -1, 1)
+                  - wav_k).max() <= 2.0 / (2**23 - 1)
+
