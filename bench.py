@@ -187,8 +187,27 @@ def run_latency(pipeline, key, n_calls: int = 30):
         rtts.append((time.perf_counter() - t0) * 1e3)
     rtt50 = float(np.percentile(rtts, 50))
     result["tunnel_rtt_ms_p50"] = round(rtt50, 2)
+
+    # Payload-rate probe: fetch a buffer the size of the typical packed
+    # result. The trivial-RTT probe can't see per-MB transfer-rate
+    # degradation (tunnel weather moves it hour to hour), so without this
+    # a slow hour reads as "device got slower". device ~= p50 - payload
+    # fetch (the payload probe itself includes one RTT).
+    typ_bucket = result["typical"]["auto_bucket"]
+    n_bytes = (typ_bucket * HOP + 1) * 3  # pcm24 rows the fused graph ships
+    buf_fn = jax.jit(lambda s: jnp.full((n_bytes,), s, jnp.uint8))
+    np.asarray(buf_fn(jnp.uint8(0)))  # compile
+    fetches = []
+    for i in range(n_calls):
+        t0 = time.perf_counter()
+        np.asarray(buf_fn(jnp.uint8(i % 251)))
+        fetches.append((time.perf_counter() - t0) * 1e3)
+    fetch50 = float(np.percentile(fetches, 50))
+    result["payload_fetch_ms_p50"] = round(fetch50, 2)
+    result["payload_kb"] = round(n_bytes / 1024.0, 1)
     for name in sentences:
-        result[name]["device_ms_p50_estimate"] = round(result[name]["p50"] - rtt50, 2)
+        result[name]["device_ms_p50_estimate"] = round(
+            result[name]["p50"] - fetch50, 2)
     return result
 
 
@@ -222,6 +241,8 @@ def main() -> None:
         "latency_typical": lat["typical"],
         "latency_long_sentence": lat["long"],
         "tunnel_rtt_ms_p50": lat["tunnel_rtt_ms_p50"],
+        "payload_fetch_ms_p50": lat["payload_fetch_ms_p50"],
+        "payload_kb": lat["payload_kb"],
         "latency_target_ms": 50.0,
         "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets + finer vocoder buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via the AUTO-bucketed fused graph (fixed_y_bucket='auto', truncation-free, ONE packed host sync per call shipping device-quantized 24-bit PCM — the written-WAV encoding), typical ~3.4s-audio sentence headline + long ~6.4s secondary",
     }))
