@@ -488,6 +488,11 @@ def test_pcm24_transfer_matches_f32_path(fabricated_ckpts, monkeypatch):
     args = (model, params, vocoder, voc_params, None, "english_cleaners_no_espeak")
     pf32 = TTSPipeline(*args, vocoder_pallas=False, pcm24_transfer=False)
     p24 = TTSPipeline(*args, vocoder_pallas=False)  # default: pcm24 on
+    # seed the duration calibration: this test pins the WIRE FORMAT, not
+    # auto-bucket selection (test_auto_fused_bucket_calibrates_and_retries
+    # covers that) — uncalibrated first calls would compile the largest
+    # (2048-frame) fused bucket twice, ~1 min of fast-suite time
+    pf32._dur_ratio = p24._dur_ratio = 4.0
 
     of = pf32.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)
     op = p24.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)

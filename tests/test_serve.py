@@ -18,11 +18,13 @@ import pytest
 from tests.test_cli_e2e import fabricated_ckpts  # noqa: F401  (fixture reuse)
 
 
-@pytest.fixture()
-def batcher(fabricated_ckpts, monkeypatch):  # noqa: F811
-    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+@pytest.fixture(scope="module")
+def serve_pipeline(fabricated_ckpts):  # noqa: F811
+    """ONE pipeline for the whole module: every fresh TTSPipeline re-jits
+    each (B, T_x, T_y) graph, which made every serve test pay ~15-30 s of
+    recompiles. The BatchingServer itself stays per-test (fresh queues,
+    counters, threads); only the jit caches are shared."""
     from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder
-    from matcha_tpu.serve import BatchingServer
 
     model, params = load_matcha(
         "matcha_ljspeech", os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
@@ -30,9 +32,15 @@ def batcher(fabricated_ckpts, monkeypatch):  # noqa: F811
     vocoder, voc_params, bias = load_vocoder(
         "hifigan_T2_v1", os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
     )
-    pipeline = TTSPipeline(model, params, vocoder, voc_params, bias,
-                           cleaner="english_cleaners_no_espeak")
-    b = BatchingServer(pipeline, max_batch=4, batch_window_ms=200.0,
+    return TTSPipeline(model, params, vocoder, voc_params, bias,
+                       cleaner="english_cleaners_no_espeak")
+
+
+@pytest.fixture()
+def batcher(serve_pipeline):
+    from matcha_tpu.serve import BatchingServer
+
+    b = BatchingServer(serve_pipeline, max_batch=4, batch_window_ms=200.0,
                        n_timesteps=1)
     yield b
     b.shutdown()
