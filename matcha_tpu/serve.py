@@ -84,6 +84,10 @@ class _Request:
     error: str | None = None
     t_enqueue: float = field(default_factory=time.perf_counter)
     t_done: float = 0.0
+    #: time-to-first-audio matters more than merge efficiency for this
+    #: request (a stream's first chunk): dispatch it alone, immediately,
+    #: when the device is idle instead of waiting out the batch window
+    urgent: bool = False
 
 
 class BatchingServer:
@@ -105,7 +109,7 @@ class BatchingServer:
                  batch_window_ms: float = 10.0, n_timesteps: int = 10,
                  temperature: float = 0.667, default_rate: float = 1.0,
                  seed: int = 1234, default_spk: int | None = None,
-                 pipelined: bool = False):
+                 pipelined: bool = False, fused_single: bool = True):
         import jax
 
         self.jax = jax
@@ -150,6 +154,19 @@ class BatchingServer:
         self.pipelined = pipelined
         self._completion_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._in_flight = 0  # dispatched batches not yet fetched (batcher/responder)
+        # Fused single-request fast path: (T_x bucket, rate, has_spk) ->
+        # largest warmed fused mel bucket. A lone request through the
+        # dynamic path pays 3 dispatches + 2 host syncs (encode
+        # y_lengths fetch + result fetch); the fused single-jit graph
+        # (cli._fused_fn — the CLI latency path) does it in ONE dispatch
+        # + ONE packed fetch (~3x lower unloaded latency / stream TTFA).
+        # Only COMPILED graphs are used (registered by warmup), so the
+        # fast path can never stall traffic on a fresh compile; a
+        # saturated result (mel_lengths hit the bucket) re-runs through
+        # the dynamic path (_complete fallback).
+        self.fused_single = fused_single
+        self._fused_warm: dict = {}
+        self._busy = False  # batcher currently dispatching (any mode)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self._responder = threading.Thread(target=self._respond_loop, daemon=True)
@@ -162,7 +179,7 @@ class BatchingServer:
 
     # -- client side -------------------------------------------------------
     def _enqueue(self, text: str, speaking_rate: float | None,
-                 spk: int | None) -> _Request:
+                 spk: int | None, urgent: bool = False) -> _Request:
         """Phonemize and queue without waiting (streaming building block)."""
         from matcha_tpu.text import text_to_sequence
         from matcha_tpu.utils.utils import intersperse
@@ -178,6 +195,7 @@ class BatchingServer:
             speaking_rate=(self.default_rate if speaking_rate is None
                            else self._quantize_rate(speaking_rate)),
             spk=self.default_spk if spk is None else int(spk),
+            urgent=urgent,
         )
         with self._lock:
             self.n_requests += 1
@@ -235,7 +253,15 @@ class BatchingServer:
         completed request IN ORDER as it finishes — time-to-first-audio is
         one dispatch, not the whole article."""
         chunks = self._fit_chunks(text, max_chars)
-        reqs = [self._enqueue(c, speaking_rate, spk) for c in chunks]
+        # Mark the first chunk urgent only when the server is idle AT
+        # ENQUEUE TIME: the batcher then dispatches it solo on the fused
+        # fast path (time-to-first-audio = one dispatch) while the sibling
+        # chunks merge into the next batch. Under load the queue is
+        # non-empty here, urgency stays off, and merging wins.
+        idle = self._q.empty() and not self._busy and self._in_flight == 0
+        reqs = [self._enqueue(c, speaking_rate, spk,
+                              urgent=(i == 0 and idle and len(chunks) > 1))
+                for i, c in enumerate(chunks)]
         for r in reqs:
             if not r.done.wait(timeout_s):
                 # same locked re-check as submit(): a chunk completed
@@ -283,6 +309,13 @@ class BatchingServer:
         first = self._q.get()
         if first is None:
             return []
+        if first.urgent:
+            # a stream's first chunk enqueued on an idle server (decided
+            # at enqueue time — its SIBLING chunks are queued behind it by
+            # now): skip the batch window and dispatch it solo on the
+            # fused fast path; time-to-first-audio is one dispatch away
+            # while the siblings merge into the next batch.
+            return [first]
         batch = [first]
         deadline = time.perf_counter() + self.batch_window_s
         busy_prev = self._in_flight > 0
@@ -330,19 +363,48 @@ class BatchingServer:
             groups: dict[tuple, list[_Request]] = {}
             for r in batch:
                 groups.setdefault((r.speaking_rate, r.spk), []).append(r)
-            for (rate, spk), reqs in groups.items():
-                with self._lock:
-                    self._in_flight += 1
-                try:
-                    self._run(reqs, rate, spk)
-                except Exception as e:  # pragma: no cover - device errors
+            self._busy = True
+            try:
+                for (rate, spk), reqs in groups.items():
                     with self._lock:
-                        self._in_flight -= 1
-                    for r in reqs:
-                        r.error = f"{type(e).__name__}: {e}"
-                        r.done.set()
+                        self._in_flight += 1
+                    try:
+                        self._run(reqs, rate, spk)
+                    except Exception as e:  # pragma: no cover - device errors
+                        with self._lock:
+                            self._in_flight -= 1
+                        for r in reqs:
+                            r.error = f"{type(e).__name__}: {e}"
+                            r.done.set()
+            finally:
+                self._busy = False
 
-    def _run(self, reqs, rate, spk):
+    def _run(self, reqs, rate, spk, allow_fused: bool = True):
+        from matcha_tpu.cli import X_BUCKETS, pick_bucket
+
+        if (allow_fused and len(reqs) == 1 and self.pipeline.mesh is None
+                and self._fused_warm):
+            # fused single-request fast path: ONE dispatch + ONE packed
+            # fetch through the pre-compiled CLI latency graph
+            r = reqs[0]
+            T_x = pick_bucket(len(r.seq), X_BUCKETS)
+            T_y = self._pick_fused_bucket(T_x, rate, spk is not None,
+                                          len(r.seq))
+            if T_y:
+                self._n_calls += 1
+                out = self.pipeline.synthesise_batch(
+                    r.seq[None], np.asarray([len(r.seq)], np.int32),
+                    self.jax.random.fold_in(self._key, self._n_calls),
+                    n_timesteps=self.n_timesteps, temperature=self.temperature,
+                    length_scale=rate, fixed_y_bucket=T_y,
+                    spks=None if spk is None else np.full((1,), int(spk), np.int32),
+                )
+                out["_fused_T_y"] = T_y  # saturation fallback marker
+                if self.pipelined:
+                    self._completion_q.put((reqs, out))
+                else:
+                    self._complete(reqs, out)
+                return
         # Pad the batch dim to a power of two: merged batches can arrive at
         # any size 1..max_batch, and every distinct (B, T_x bucket) is a
         # separate XLA compile. Power-of-2 B-buckets bound the compile
@@ -368,12 +430,13 @@ class BatchingServer:
             # ONE transfer (25% less payload + one fewer tunnel round trip)
             pack_wav=self.pipeline.pcm24_transfer,
         )
-        if B_real < B and self.pipeline.mesh is None:
-            # trim the power-of-2 padding rows BEFORE the host fetch (a
-            # cheap device slice; up to ~43% less transfer at B_real=B/2+1)
-            for k in ("wav_pcm24", "waveform", "mel_lengths"):
-                if k in out:
-                    out[k] = out[k][:B_real]
+        # NOTE (measured, round 3): trimming the padding rows on device
+        # before the fetch (out[k][:B_real]) saves transfer only when
+        # B_real < pow2 padding — but each distinct slice shape is its own
+        # tunnel-priced compile (a window-end B_real=3 trim stalled live
+        # traffic for 22 s). The padding-row transfer it saves is small
+        # under saturation (B_real ~= max_batch), so no trim: fetch the
+        # padded batch as-is.
         if self.pipelined:
             # hand the (device-resident) results to the responder; blocks
             # only when 2 batches already await fetch (backpressure)
@@ -381,16 +444,52 @@ class BatchingServer:
         else:
             self._complete(reqs, out)
 
+    def _pick_fused_bucket(self, T_x, rate, has_spk, n_ids):
+        """Tightest WARMED fused mel bucket covering the estimated length
+        (the pipeline's self-calibrating frames-per-token ratio, as the
+        CLI's auto mode uses); the largest warmed bucket when uncalibrated.
+        The saturation fallback in _complete corrects any underestimate."""
+        buckets = self._fused_warm.get((T_x, rate, has_spk))
+        if not buckets:
+            return None
+        ratio = self.pipeline._dur_ratio
+        if ratio is None:
+            return buckets[-1]
+        est = n_ids * rate * ratio * self.pipeline.FUSED_MARGIN
+        for b in buckets:
+            if b >= est:
+                return b
+        return buckets[-1]
+
     def _complete(self, reqs, out):
         """Fetch a dispatched batch's results and wake its clients."""
         try:
-            if "wav_pcm24" in out:
-                from matcha_tpu.cli import _unpack_pcm24
-
-                wavs, mel_lengths = _unpack_pcm24(np.asarray(out["wav_pcm24"]))
-            else:
-                wavs = np.asarray(out["waveform"])
-                mel_lengths = np.asarray(out["mel_lengths"])
+            wavs, mel_lengths = self._fetch(out)
+            T_y = out.get("_fused_T_y")
+            if T_y is not None and reqs[0].speaking_rate > 0:
+                # calibrate the shared frames-per-token ratio from every
+                # non-saturated fused result (same update as CLI auto mode)
+                ml0 = int(mel_lengths[0])
+                if ml0 < T_y:
+                    obs = ml0 / (len(reqs[0].seq) * reqs[0].speaking_rate)
+                    self.pipeline._dur_ratio = max(
+                        self.pipeline._dur_ratio or 0.0, obs)
+            if T_y is not None and int(mel_lengths[0]) >= T_y:
+                # fused fast path saturated (the warmed bucket was too
+                # small for this utterance): re-run through the dynamic
+                # path, inline (rare; correctness over latency here)
+                r = reqs[0]
+                self._n_calls += 1
+                out2 = self.pipeline.synthesise_batch(
+                    r.seq[None], np.asarray([len(r.seq)], np.int32),
+                    self.jax.random.fold_in(self._key, self._n_calls),
+                    n_timesteps=self.n_timesteps, temperature=self.temperature,
+                    length_scale=r.speaking_rate,
+                    spks=(None if r.spk is None
+                          else np.full((1,), int(r.spk), np.int32)),
+                    pack_wav=self.pipeline.pcm24_transfer,
+                )
+                wavs, mel_lengths = self._fetch(out2)
         except Exception as e:  # pragma: no cover - device errors
             with self._lock:
                 self._in_flight -= 1
@@ -407,6 +506,18 @@ class BatchingServer:
                 r.wav = wavs[i, : n * HOP]
                 r.t_done = time.perf_counter()
                 r.done.set()
+
+    def _fetch(self, out):
+        """Host-fetch a dispatch's (waveforms, mel_lengths) — whichever
+        wire format the graph shipped."""
+        if "wav_pcm24" in out:
+            from matcha_tpu.cli import _unpack_pcm24
+
+            return _unpack_pcm24(np.asarray(out["wav_pcm24"]))
+        if "wav_packed" in out:  # fused graph, pcm24_transfer=False
+            packed = np.asarray(out["wav_packed"])
+            return packed[:, :-1], packed[:, -1].astype(np.int32)
+        return np.asarray(out["waveform"]), np.asarray(out["mel_lengths"])
 
     def _respond_loop(self):
         """Fetch completed batches and wake their clients — runs parallel
@@ -465,6 +576,26 @@ class BatchingServer:
                             self.pipeline._vocode_fn()(
                                 self.pipeline.vocoder_params, mel_btc[:, :T_voc],
                                 jnp.float32(self.pipeline.denoiser_strength))
+            if self.fused_single and self.pipeline.vocoder is not None:
+                # fused single-request fast path (B=1, the CLI latency
+                # graph): compile + register it so lone requests / stream
+                # first-chunks take ONE dispatch instead of three. Two
+                # bucket sizes per pair (T_y/2 and T_y): the tightest
+                # covering bucket halves the decode+vocode+payload cost of
+                # a typical short utterance vs a one-size bucket.
+                x1 = np.ones((1, T_x), np.int32)
+                fkey = (T_x, self.default_rate, self.default_spk is not None)
+                for T_f in sorted({max(64, T_y // 2), T_y}):
+                    self.pipeline.synthesise_batch(
+                        x1, np.full((1,), T_x, np.int32), self.jax.random.PRNGKey(0),
+                        n_timesteps=self.n_timesteps, temperature=self.temperature,
+                        length_scale=self.default_rate, fixed_y_bucket=T_f,
+                        spks=(None if self.default_spk is None
+                              else np.full((1,), int(self.default_spk), np.int32)))
+                    self._fused_warm.setdefault(fkey, [])
+                    if T_f not in self._fused_warm[fkey]:
+                        self._fused_warm[fkey] = sorted(
+                            self._fused_warm[fkey] + [T_f])
         if pairs:
             # from here on, reject texts that would outgrow the warmed set
             # (each would stall all queued traffic on a minutes-long compile)
@@ -597,6 +728,9 @@ def build_parser():
     p.add_argument("--spk", type=int, default=None)
     p.add_argument("--warmup", type=str, default="128:512",
                    help="comma list of Tx:Ty bucket pairs to pre-compile (empty to skip)")
+    p.add_argument("--no-fused-single", action="store_true",
+                   help="disable the fused single-request fast path "
+                        "(one-dispatch B=1 graph; saves its warmup compile)")
     p.add_argument("--cleaner", type=str, default="english_cleaners2")
     p.add_argument("--bf16-vocoder", action="store_true")
     p.add_argument("--no-pallas-vocoder", action="store_true")
@@ -643,7 +777,8 @@ def main(argv=None):
                              # validate_args filled args.spk with the model
                              # registry default (e.g. 0 for matcha_vctk);
                              # requests omitting "spk" use it
-                             default_spk=args.spk)
+                             default_spk=args.spk,
+                             fused_single=not args.no_fused_single)
     pairs = _parse_warmup(args.warmup)
     if pairs:
         print(f"[!] Warming {len(pairs)} bucket pair(s) x batch sizes {{1,{args.max_batch}}}...")

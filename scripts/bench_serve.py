@@ -134,12 +134,18 @@ def main():
         return (lat_ms, ttfa_ms, n_req_in_window[0],
                 sum(audio_in_window), duration, stragglers[0])
 
-    # Warm through the REAL offered-load path until quiescent: the batcher
-    # merges queued requests into data-dependent (B, T_x, T_y) shapes, so a
-    # fixed warm script can miss merge shapes the timed window will hit
-    # (each miss = a minutes-long compile stalling every client). Sequential
-    # pass first (B=1 shapes), then load windows until one runs compile-free
-    # (p99 under a second = no compile happened in it).
+    # Operator warmup first (as matcha-serve --warmup does): arms the
+    # too-long guard and registers the fused single-request fast path
+    # (B=1 one-dispatch graphs) for both x-buckets this workload hits —
+    # the path solo/urgent requests (stream first chunks) ride.
+    print("warming (operator warmup: buckets + fused fast path)...", flush=True)
+    batcher.warmup([(128, 1024), (192, 1024)])
+    # Then warm through the REAL offered-load path until quiescent: the
+    # batcher merges queued requests into data-dependent (B, T_x, T_y)
+    # shapes, so a fixed warm script can miss merge shapes the timed
+    # window will hit (each miss = a minutes-long compile stalling every
+    # client). Sequential pass first (B=1 shapes), then load windows until
+    # two in a row run compile-free.
     print("warming (sequential)...", flush=True)
     for s in SENTENCES:
         batcher.submit(s, timeout_s=1200.0)

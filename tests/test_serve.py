@@ -243,6 +243,93 @@ def test_default_rate_is_trusted_verbatim():
     assert b._enqueue("hello", 3.5, None).speaking_rate == 2.0  # client rate clamps
 
 
+@pytest.mark.slow
+def test_fused_single_fast_path_and_saturation_fallback(batcher, monkeypatch):
+    """Lone requests ride the pre-compiled fused single-jit graph (ONE
+    dispatch instead of encode/decode/vocode); a saturated fused result
+    (mel_lengths hit the warmed bucket) re-runs through the dynamic path
+    so the audio is never truncated."""
+    from matcha_tpu.cli import X_BUCKETS, pick_bucket
+
+    text = "hello there"
+    # dynamic-path ground truth (durations are deterministic given params)
+    r0 = batcher.submit(text, timeout_s=600.0)
+    assert r0.error is None
+    n = r0.n_frames
+    T_x = pick_bucket(len(r0.seq), X_BUCKETS)
+
+    calls = []
+    orig = batcher.pipeline.synthesise_batch
+
+    def spy(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(batcher.pipeline, "synthesise_batch", spy)
+
+    # register a COVERING fused bucket (compile it first, as warmup would)
+    T_big = 64 * ((n // 64) + 2)
+    orig(r0.seq[None], np.asarray([len(r0.seq)], np.int32),
+         batcher.jax.random.PRNGKey(0), n_timesteps=batcher.n_timesteps,
+         temperature=batcher.temperature, length_scale=batcher.default_rate,
+         fixed_y_bucket=T_big)
+    batcher._fused_warm[(T_x, batcher.default_rate, False)] = [T_big]
+    r1 = batcher.submit(text, timeout_s=600.0)
+    assert r1.error is None and r1.n_frames == n
+    assert np.isfinite(r1.wav).all() and r1.wav.size == n * 256
+    assert calls and calls[-1].get("fixed_y_bucket") == T_big  # fused used
+
+    # register a TOO-SMALL fused bucket: fast path saturates -> dynamic
+    # fallback returns the full-length audio (fixed_y_bucket accepts any
+    # length; 16-multiples keep the U-Net downsample stack happy)
+    T_small = max(16, (n - 1) // 16 * 16)
+    if T_small >= n:
+        pytest.skip(f"utterance too short to saturate a bucket (n={n})")
+    orig(r0.seq[None], np.asarray([len(r0.seq)], np.int32),
+         batcher.jax.random.PRNGKey(0), n_timesteps=batcher.n_timesteps,
+         temperature=batcher.temperature, length_scale=batcher.default_rate,
+         fixed_y_bucket=T_small)
+    batcher._fused_warm[(T_x, batcher.default_rate, False)] = [T_small]
+    calls.clear()
+    r2 = batcher.submit(text, timeout_s=600.0)
+    assert r2.error is None and r2.n_frames == n, "fallback must not truncate"
+    assert r2.wav.size == n * 256
+    assert any(k.get("fixed_y_bucket") == T_small for k in calls)  # tried fused
+    assert any(k.get("pack_wav") for k in calls)  # ...then fell back
+
+
+def test_stream_first_chunk_urgent_marking():
+    """A stream's FIRST chunk is marked urgent only when the server is
+    idle at enqueue time (the batcher then dispatches it solo for
+    one-dispatch time-to-first-audio); on a busy server urgency stays off
+    and all chunks merge."""
+    import queue as _queue
+
+    from matcha_tpu.serve import BatchingServer
+
+    b = object.__new__(BatchingServer)
+    b.pipeline = type("P", (), {"cleaner": "english_cleaners_no_espeak"})()
+    b.default_rate = 1.0
+    b.default_spk = None
+    b.max_warm_x = None
+    b._lock = threading.Lock()
+    b.n_requests = 0
+    b._q = _queue.Queue()
+    b._busy = False
+    b._in_flight = 0
+
+    text = "One sentence here. Another one follows. And then a third."
+    reqs = list(b.submit_stream(text, timeout_s=0.01, max_chars=30))
+    assert len(reqs) >= 2
+    assert reqs[0].urgent and not any(r.urgent for r in reqs[1:])
+
+    while not b._q.empty():
+        b._q.get()
+    b._busy = True  # dispatching -> not idle -> no urgency
+    reqs2 = list(b.submit_stream(text, timeout_s=0.01, max_chars=30))
+    assert not any(r.urgent for r in reqs2)
+
+
 def test_parse_warmup():
     from matcha_tpu.serve import _parse_warmup
 
