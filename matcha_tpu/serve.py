@@ -166,6 +166,13 @@ class BatchingServer:
         # the dynamic path (_complete fallback).
         self.fused_single = fused_single
         self._fused_warm: dict = {}
+        #: warmed x-buckets (sorted). Short sequences route UP to the
+        #: smallest warmed bucket: padding a 50-id text to a 128 bucket
+        #: costs ~nothing (the encoder is ~1 ms) but keeps the compile
+        #: surface EXACTLY the warmed set — without this, a drain-tail
+        #: batch of short texts hit fresh small-bucket shapes and stalled
+        #: live traffic on multi-minute tunnel compiles (soak finding).
+        self._warm_x: list = []
         self._busy = False  # batcher currently dispatching (any mode)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -380,20 +387,20 @@ class BatchingServer:
                 self._busy = False
 
     def _run(self, reqs, rate, spk, allow_fused: bool = True):
-        from matcha_tpu.cli import X_BUCKETS, pick_bucket
-
         if (allow_fused and len(reqs) == 1 and self.pipeline.mesh is None
                 and self._fused_warm):
             # fused single-request fast path: ONE dispatch + ONE packed
             # fetch through the pre-compiled CLI latency graph
             r = reqs[0]
-            T_x = pick_bucket(len(r.seq), X_BUCKETS)
+            T_x = self._route_x(len(r.seq))
             T_y = self._pick_fused_bucket(T_x, rate, spk is not None,
                                           len(r.seq))
             if T_y:
                 self._n_calls += 1
+                x1 = np.zeros((1, T_x), np.int32)
+                x1[0, : len(r.seq)] = r.seq
                 out = self.pipeline.synthesise_batch(
-                    r.seq[None], np.asarray([len(r.seq)], np.int32),
+                    x1, np.asarray([len(r.seq)], np.int32),
                     self.jax.random.fold_in(self._key, self._n_calls),
                     n_timesteps=self.n_timesteps, temperature=self.temperature,
                     length_scale=rate, fixed_y_bucket=T_y,
@@ -414,7 +421,9 @@ class BatchingServer:
         B = 1
         while B < B_real:
             B *= 2
-        T = max(len(r.seq) for r in reqs)
+        # route up to a WARMED x-bucket (see _warm_x): the batch then hits
+        # only pre-compiled (B, T_x) shapes regardless of text lengths
+        T = self._route_x(max(len(r.seq) for r in reqs))
         x = np.zeros((B, T), np.int32)  # synthesise_batch pads to the x-bucket
         xl = np.ones((B,), np.int32)
         for i, r in enumerate(reqs):
@@ -443,6 +452,16 @@ class BatchingServer:
             self._completion_q.put((reqs, out))
         else:
             self._complete(reqs, out)
+
+    def _route_x(self, n: int) -> int:
+        """Smallest WARMED x-bucket covering ``n`` ids (falls back to the
+        plain bucket grid when nothing warmed covers it)."""
+        from matcha_tpu.cli import X_BUCKETS, pick_bucket
+
+        for b in self._warm_x:
+            if b >= n:
+                return b
+        return pick_bucket(n, X_BUCKETS)
 
     def _pick_fused_bucket(self, T_x, rate, has_spk, n_ids):
         """Tightest WARMED fused mel bucket covering the estimated length
@@ -545,8 +564,14 @@ class BatchingServer:
             b *= 2
             sizes.add(b)
         for T_x, T_y in pairs:
-            prev_y = max([y for y in Y_BUCKETS if y < T_y], default=0)
-            voc_lens = [v for v in VOC_BUCKETS if prev_y < v <= T_y] or [T_y]
+            # Warm EVERY dynamic-path shape reachable under this pair —
+            # all Y_BUCKETS <= T_y, each with its finer vocoder lengths —
+            # not just T_y itself: a short merged batch picks an
+            # intermediate mel bucket, and ONE cold shape stalls all
+            # queued traffic for tunnel-compile minutes (measured in
+            # scripts/soak_serve.py). With the persistent compilation
+            # cache this full sweep is a one-time cost per deployment.
+            y_buckets = [y for y in Y_BUCKETS if y <= T_y] or [T_y]
             for B in sorted(sizes):
                 x = np.ones((B, T_x), np.int32)
                 xl = np.full((B,), T_x, np.int32)
@@ -558,24 +583,27 @@ class BatchingServer:
                 mu_x, w_ceil, y_lengths = self.pipeline._encode_fn(T_x, self.default_rate)(
                     self.pipeline.params, self.jax.numpy.asarray(x),
                     self.jax.numpy.asarray(xl), spks)
-                out = self.pipeline._decode_fn(T_x, T_y, self.n_timesteps, self.temperature)(
-                    self.pipeline.params, mu_x, w_ceil,
-                    self.jax.numpy.asarray(xl), y_lengths,
-                    self.jax.random.PRNGKey(0), spks=spks)
-                if self.pipeline.vocoder is not None:
-                    jnp = self.jax.numpy
-                    mel_btc = jnp.swapaxes(out["mel"], 1, 2)
-                    for T_voc in voc_lens:
-                        if self.pipeline.pcm24_transfer:
-                            # warm the SAME packed graph _run dispatches
-                            self.pipeline._vocode_packed_fn()(
-                                self.pipeline.vocoder_params, mel_btc[:, :T_voc],
-                                jnp.float32(self.pipeline.denoiser_strength),
-                                out["mel_lengths"])
-                        else:
-                            self.pipeline._vocode_fn()(
-                                self.pipeline.vocoder_params, mel_btc[:, :T_voc],
-                                jnp.float32(self.pipeline.denoiser_strength))
+                for T_yb in y_buckets:
+                    prev_y = max([y for y in Y_BUCKETS if y < T_yb], default=0)
+                    voc_lens = [v for v in VOC_BUCKETS if prev_y < v <= T_yb] or [T_yb]
+                    out = self.pipeline._decode_fn(T_x, T_yb, self.n_timesteps, self.temperature)(
+                        self.pipeline.params, mu_x, w_ceil,
+                        self.jax.numpy.asarray(xl), y_lengths,
+                        self.jax.random.PRNGKey(0), spks=spks)
+                    if self.pipeline.vocoder is not None:
+                        jnp = self.jax.numpy
+                        mel_btc = jnp.swapaxes(out["mel"], 1, 2)
+                        for T_voc in voc_lens:
+                            if self.pipeline.pcm24_transfer:
+                                # warm the SAME packed graph _run dispatches
+                                self.pipeline._vocode_packed_fn()(
+                                    self.pipeline.vocoder_params, mel_btc[:, :T_voc],
+                                    jnp.float32(self.pipeline.denoiser_strength),
+                                    out["mel_lengths"])
+                            else:
+                                self.pipeline._vocode_fn()(
+                                    self.pipeline.vocoder_params, mel_btc[:, :T_voc],
+                                    jnp.float32(self.pipeline.denoiser_strength))
             if self.fused_single and self.pipeline.vocoder is not None:
                 # fused single-request fast path (B=1, the CLI latency
                 # graph): compile + register it so lone requests / stream
@@ -601,6 +629,9 @@ class BatchingServer:
             # (each would stall all queued traffic on a minutes-long compile)
             self.max_warm_x = max(self.max_warm_x or 0,
                                   max(T_x for T_x, _ in pairs))
+            # ...and route shorter texts UP into these buckets (_route_x)
+            self._warm_x = sorted(set(self._warm_x)
+                                  | {T_x for T_x, _ in pairs})
 
 
 def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int = 8080):
