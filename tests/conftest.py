@@ -23,6 +23,13 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the fast suite's wall time is dominated by
+# CPU XLA compiles (tiny-model graphs recompiled identically every run).
+# Same helper every entry point uses; MATCHA_COMPILATION_CACHE=off disables.
+from matcha_tpu.utils.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 # Parity tests compare against torch f32; JAX's default matmul/conv
 # precision is bf16-grade (even on CPU), so pin full f32 for tests.
 jax.config.update("jax_default_matmul_precision", "highest")
