@@ -111,8 +111,11 @@ def run_batched(pipeline, utts, key, timed: bool):
         utts, key, n_timesteps=N_STEPS, temperature=TEMPERATURE,
         length_scale=LENGTH_SCALE, batch_size=BATCH,
     ):
-        # chain completion of the waveform into one scalar dependency
-        acc = acc + out["waveform"][0, 0]
+        # chain completion of the waveform into one scalar dependency (the
+        # fused stage returns a ready-made scalar handle; the getitem on
+        # the split path is an extra eager dispatch)
+        fs = out.get("first_sample")
+        acc = acc + (fs if fs is not None else out["waveform"][0, 0])
         audio_seconds += float(out["mel_lengths_host"].sum()) * HOP / SR
     # Force the whole chain: block_until_ready() can return before the
     # tunnel-attached device finishes — only a data fetch is honest.

@@ -178,6 +178,7 @@ class TTSPipeline:
         self.cleaner = cleaner
         self._encode_cache = {}
         self._decode_cache = {}
+        self._decode_voc_cache = {}
         self._vocode_cache = {}
         self._fused_cache = {}
         # Auto fused-bucket calibration (fixed_y_bucket="auto"): running max
@@ -256,6 +257,46 @@ class TTSPipeline:
                                   y_max_length=T_y)
             )
         return self._decode_cache[key]
+
+    def _decode_vocode_fn(self, T_x: int, T_y: int, T_voc: int,
+                          n_timesteps: int, temperature: float):
+        """Decode + mel-slice + vocode + denoise as ONE jitted graph.
+
+        The staged corpus path knows the mel bucket AND the finer vocoder
+        bucket host-side before dispatching (stage 2 fetched the predicted
+        lengths), so stage 3 can run as a single dispatch per batch,
+        quartering per-batch host dispatches. Measured NEUTRAL for
+        throughput on the remote-tunnel backend (scripts/profile_corpus.py:
+        at B=8 the per-stage device work is large enough that dispatch
+        boundaries cost nothing — unlike B=1, where the fused latency graph
+        beats the staged sum 2.2x); opt-in for hosts where dispatch is the
+        scarce resource. Keyed by the (T_x, T_y, T_voc) triple: only
+        triples a corpus actually hits compile (the serving daemon keeps
+        the split stages — its warmup sweep would otherwise pay a U-Net
+        compile per pair).
+        """
+        key = (T_x, T_y, T_voc, n_timesteps, temperature)
+        if key not in self._decode_voc_cache:
+            from matcha_tpu.models.matcha import MatchaTTS
+
+            jnp = self.jax.numpy
+            vocode = self._vocode_tail()
+
+            def fn(params, voc_params, mu_x, w_ceil, x_lengths, y_lengths,
+                   k, spks, strength):
+                out = self.model.apply(
+                    params, mu_x, w_ceil, x_lengths, y_lengths, k,
+                    n_timesteps=n_timesteps, temperature=temperature,
+                    y_max_length=T_y, spks=spks, method=MatchaTTS.decode)
+                mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]
+                out["waveform"] = vocode(voc_params, mel_btc, strength)
+                # scalar completion handle: lets callers force the whole
+                # batch chain without an extra eager getitem dispatch
+                out["first_sample"] = out["waveform"][0, 0]
+                return out
+
+            self._decode_voc_cache[key] = self.jax.jit(fn)
+        return self._decode_voc_cache[key]
 
     # Below this many total mel frames (B x T_y, static under jit) the XLA
     # conv path beats the Pallas MRF kernel: measured at B=1/T_y=512 XLA is
@@ -530,7 +571,8 @@ class TTSPipeline:
 
     def synthesise_corpus(self, utterances, key, n_timesteps: int = 10,
                           temperature: float = 0.667, length_scale: float = 1.0,
-                          spk=None, batch_size: int = 8, stage_window: int = 64):
+                          spk=None, batch_size: int = 8, stage_window: int = 64,
+                          fuse_stages: bool = False):
         """Staged batched synthesis over a whole corpus (filelist serving).
 
         ``synthesise_batch`` pays one blocking host round trip per batch to
@@ -594,17 +636,29 @@ class TTSPipeline:
             for bi, (chunk, T_x, mu_x, w_ceil, x_lengths, y_lengths, spks_j) in enumerate(encoded):
                 max_y = int(y_host[bi].max())
                 T_y = pick_bucket(max_y, Y_BUCKETS)
-                out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
-                    self.params, mu_x, w_ceil, x_lengths, y_lengths,
-                    jax.random.fold_in(key, w0 + bi), spks=spks_j,
-                )
-                if self.vocoder is not None:
-                    # finer vocoder bucket — see synthesise_batch
+                if self.vocoder is not None and fuse_stages:
+                    # finer vocoder bucket — see synthesise_batch; the
+                    # whole stage (decode + slice + vocode + denoise) is
+                    # ONE dispatch (_decode_vocode_fn)
                     T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
-                    mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]
-                    out["waveform"] = self._vocode_fn()(
-                        self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
+                    out = self._decode_vocode_fn(T_x, T_y, T_voc,
+                                                 n_timesteps, temperature)(
+                        self.params, self.vocoder_params, mu_x, w_ceil,
+                        x_lengths, y_lengths, jax.random.fold_in(key, w0 + bi),
+                        spks_j, jnp.float32(self.denoiser_strength),
                     )
+                else:
+                    out = self._decode_fn(T_x, T_y, n_timesteps, temperature)(
+                        self.params, mu_x, w_ceil, x_lengths, y_lengths,
+                        jax.random.fold_in(key, w0 + bi), spks=spks_j,
+                    )
+                    if self.vocoder is not None:
+                        # finer vocoder bucket — see synthesise_batch
+                        T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
+                        mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]
+                        out["waveform"] = self._vocode_fn()(
+                            self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)
+                        )
                 # already-fetched host lengths (decode clips to the bucket)
                 out["mel_lengths_host"] = np.minimum(y_host[bi], T_y).astype(np.int32)
                 yield chunk, out
@@ -843,7 +897,7 @@ def staged_batched_synthesis(args, pipeline: TTSPipeline, texts, spk):
     for chunk, out in pipeline.synthesise_corpus(
         utts, key, n_timesteps=args.steps, temperature=args.temperature,
         length_scale=args.speaking_rate, spk=None if spk is None else int(spk[0]),
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, fuse_stages=args.fused_stage,
     ):
         wavs = np.asarray(out["waveform"])
         for row, idx in enumerate(chunk):
@@ -944,6 +998,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=1234, help="Noise seed (explicit PRNG; default 1234)")
     parser.add_argument("--fixed-y-bucket", type=lambda s: s if s == "auto" else int(s), default=0, help="Fix the mel bucket length and run the whole text->wav pipeline as ONE fused jit graph (no host sync; lowest latency). 'auto' = self-calibrating tightest bucket. 0 = dynamic bucket pick.")
     parser.add_argument("--staged", action="store_true", help="With --batched: staged corpus serving — dispatch every batch's encoder pass first, fetch all predicted mel lengths in one host transfer, then decode+vocode per bucket (highest filelist throughput).")
+    parser.add_argument("--fused-stage", action="store_true", help="With --staged: run decode+vocode+denoise as ONE jit per (mel-bucket, vocoder-bucket) triple instead of separate dispatches. Measured NEUTRAL on the remote-tunnel backend (the B=8 stages are big enough that dispatch boundaries cost nothing) but it quarters per-batch host dispatches — useful on locally-attached TPUs; costs one extra compile per distinct bucket triple.")
     parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
     parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
     parser.add_argument("--bf16-latency", action="store_true", help="run the fused single-jit serving graph (--fixed-y-bucket) with a bf16 CFM Euler loop + bf16 vocoder tail (~2e-4 wav deviation; durations stay f32/bit-identical). Measured NEUTRAL on v5e (device 10.6 vs 10.0 ms f32: --xla_allow_excess_precision keeps matmuls f32 and bf16 transposed convs hit a slower path, eating the halved HBM traffic) — kept for hardware where bf16 convs are fast")

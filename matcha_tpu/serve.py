@@ -680,10 +680,19 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
                 self._json(404, {"error": "not found"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                n = max(0, int(self.headers.get("Content-Length", 0)))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise TypeError("payload must be a JSON object")
                 text = payload["text"]
-            except (KeyError, json.JSONDecodeError) as e:
+                # validate BEFORE any 200 header goes out (the stream
+                # endpoint writes headers first, so a late int() failure
+                # would kill the connection with no error response)
+                payload["max_chars"] = int(payload.get("max_chars", 200))
+            # ValueError covers JSONDecodeError, bad Content-Length ints and
+            # UnicodeDecodeError (non-UTF-8 bodies); TypeError covers
+            # non-object JSON payloads. Anything here is the client's fault.
+            except (KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             if self.path == "/synthesise_stream":

@@ -40,30 +40,32 @@ def main():
     utts = make_corpus(rng)
     key = jax.random.PRNGKey(0)
 
-    def sweep(k):
+    def sweep(k, fuse):
         acc = jnp.float32(0)
         t0 = time.perf_counter()
         n = 0
         for _chunk, out in pipeline.synthesise_corpus(
             utts, k, n_timesteps=N_STEPS, temperature=TEMPERATURE,
-            length_scale=LENGTH_SCALE, batch_size=BATCH,
+            length_scale=LENGTH_SCALE, batch_size=BATCH, fuse_stages=fuse,
         ):
-            acc = acc + out["waveform"][0, 0]
+            fs = out.get("first_sample")
+            acc = acc + (fs if fs is not None else out["waveform"][0, 0])
             n += 1
         t_loop = time.perf_counter() - t0
         float(acc)
         t_wall = time.perf_counter() - t0
         return t_loop, t_wall, n
 
-    sweep(key)  # warmup compiles
-    for trial in range(3):
-        t_loop, t_wall, n = sweep(jax.random.fold_in(key, trial + 1))
-        print(
-            f"trial {trial}: loop_exit {t_loop*1e3:.0f} ms, wall {t_wall*1e3:.0f} ms, "
-            f"host_fraction {t_loop/t_wall:.2f}, batches {n}, "
-            f"drain_tail {1e3*(t_wall-t_loop):.0f} ms",
-            flush=True,
-        )
+    for fuse in (False, True):
+        sweep(key, fuse)  # warmup compiles
+        for trial in range(3):
+            t_loop, t_wall, n = sweep(jax.random.fold_in(key, trial + 1), fuse)
+            print(
+                f"fuse={fuse} trial {trial}: loop_exit {t_loop*1e3:.0f} ms, "
+                f"wall {t_wall*1e3:.0f} ms, host_fraction {t_loop/t_wall:.2f}, "
+                f"batches {n}, drain_tail {1e3*(t_wall-t_loop):.0f} ms",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -520,3 +520,44 @@ def test_pcm24_transfer_matches_f32_path(fabricated_ckpts, monkeypatch):
     assert np.abs(np.clip(np.asarray(od["waveform"]), -1, 1)
                   - wav_k).max() <= 2.0 / (2**23 - 1)
 
+
+
+@pytest.mark.slow
+def test_fused_corpus_stage_matches_split(fabricated_ckpts, monkeypatch):
+    """synthesise_corpus(fuse_stages=True) — decode+slice+vocode+denoise as
+    ONE jit per (T_x, T_y, T_voc) triple — reproduces the split-stage path
+    (same ops, same order; only dispatch boundaries move)."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha, load_vocoder
+
+    model, params = load_matcha(
+        "matcha_ljspeech", os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    )
+    vocoder, voc_params, bias = load_vocoder(
+        "hifigan_T2_v1", os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    )
+    pipeline = TTSPipeline(model, params, vocoder, voc_params, bias,
+                           cleaner="english_cleaners_no_espeak")
+
+    rng = np.random.default_rng(21)
+    utts = [rng.integers(1, 178, size=(int(n),)).astype(np.int32)
+            for n in rng.integers(8, 40, size=5)]
+    key = jax.random.PRNGKey(13)
+
+    split = list(pipeline.synthesise_corpus(utts, key, n_timesteps=1,
+                                            batch_size=2, fuse_stages=False))
+    fused = list(pipeline.synthesise_corpus(utts, key, n_timesteps=1,
+                                            batch_size=2, fuse_stages=True))
+    assert [c for c, _ in split] == [c for c, _ in fused]
+    for (_, a), (_, b) in zip(split, fused):
+        assert "first_sample" in b  # the no-extra-getitem completion handle
+        np.testing.assert_array_equal(a["mel_lengths_host"], b["mel_lengths_host"])
+        np.testing.assert_allclose(np.asarray(a["mel"]), np.asarray(b["mel"]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a["waveform"]), np.asarray(b["waveform"]),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(b["first_sample"]),
+                                   np.asarray(b["waveform"])[0, 0], rtol=0, atol=0)

@@ -400,3 +400,53 @@ def test_streaming_endpoint(batcher):
         assert len(pcm) == expected_samples * 3  # 24-bit frames
     finally:
         server.shutdown()
+
+
+def test_http_fuzz_malformed_requests(batcher):
+    """Adversarial HTTP inputs get a 4xx JSON error (never a dropped
+    connection or a crashed handler thread), and the server stays alive."""
+    from matcha_tpu.serve import make_http_server
+
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+
+    def post(path, data, headers=None):
+        req = urllib.request.Request(
+            url + path, data=data,
+            headers={"Content-Type": "application/json", **(headers or {})})
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    try:
+        cases = [
+            ("no text key", "/synthesise", b"{}", None),
+            ("non-JSON body", "/synthesise", b"this is not json", None),
+            ("invalid UTF-8", "/synthesise", b"\xff\xfe{", None),
+            ("JSON array payload", "/synthesise", b"[1, 2, 3]", None),
+            ("JSON scalar payload", "/synthesise", b"42", None),
+            ("bad max_chars (stream parse)", "/synthesise_stream",
+             json.dumps({"text": "hi", "max_chars": "lots"}).encode(), None),
+            ("bad max_chars (long)", "/synthesise_long",
+             json.dumps({"text": "hi", "max_chars": "lots"}).encode(), None),
+            ("bad Content-Length header", "/synthesise", b"{}",
+             {"Content-Length": "banana"}),
+        ]
+        for name, path, data, headers in cases:
+            code = post(path, data, headers)
+            assert 400 <= code < 500, f"{name}: expected 4xx, got {code}"
+
+        assert post("/nope", b"{}", None) == 404
+        with urllib.request.urlopen(f"{url}/nope", timeout=30) as _:
+            pass
+    except urllib.error.HTTPError as e:
+        assert e.code == 404  # GET unknown path
+    finally:
+        # server must still answer after all the abuse
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+        server.shutdown()
