@@ -100,3 +100,25 @@ def test_enforce_tags_noninteractive_default_and_save(tmp_path):
 
     with pytest.raises(ValueError, match="multirun"):
         enforce_tags({"tags": None, "_multirun": True})
+
+
+def _group_options(group):
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", group)
+    return sorted(p[:-5] for p in os.listdir(root) if p.endswith(".yaml"))
+
+
+def test_compose_every_group_option():
+    """Config-rot guard: every yaml in every selectable group composes
+    against the train root (the reference's tree has 41 files and any of
+    them can silently break when keys move)."""
+    import pytest
+
+    for group in ("data", "experiment", "trainer", "logger", "callbacks",
+                  "debug", "hparams_search"):
+        for opt in _group_options(group):
+            cfg = compose("train", overrides=[f"{group}={opt}", "run_name=x"])
+            assert cfg.model.n_vocab == 178, f"{group}={opt}"
+    # the eval root composes too
+    assert compose("eval", overrides=["ckpt_path=x"]) is not None
