@@ -42,6 +42,10 @@ from matcha_tpu.cli import TTSPipeline
 
 SR = 22050
 HOP = 256
+#: request-body cap: text is the only client payload; 1 MB of text is
+#: already ~2.5 hours of speech — anything bigger is abuse, and an
+#: unbounded read lets one request hold a handler thread on a huge body
+MAX_BODY_BYTES = 1 << 20
 
 
 from matcha_tpu.utils.utils import pcm24_bytes as pcm24  # shared with write_wav
@@ -668,7 +672,7 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
             self.wfile.flush()
             for r in batcher.submit_stream(
                 text, payload.get("speaking_rate"), payload.get("spk"),
-                max_chars=int(payload.get("max_chars", 200)),
+                max_chars=payload["max_chars"],
             ):
                 if r.error:
                     break  # mid-stream error: close the connection early
@@ -681,14 +685,26 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
                 return
             try:
                 n = max(0, int(self.headers.get("Content-Length", 0)))
+                if n > MAX_BODY_BYTES:
+                    self._json(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
+                    return
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(payload, dict):
                     raise TypeError("payload must be a JSON object")
                 text = payload["text"]
-                # validate BEFORE any 200 header goes out (the stream
-                # endpoint writes headers first, so a late int() failure
-                # would kill the connection with no error response)
-                payload["max_chars"] = int(payload.get("max_chars", 200))
+                if not isinstance(text, str):
+                    raise TypeError("text must be a string")
+                # Validate EVERYTHING client-typed BEFORE any 200 header
+                # goes out (the stream endpoint writes headers first, so a
+                # late conversion failure would kill the connection with no
+                # error response). max_chars clamps to a sane range:
+                # <= 0 drives the sentence splitter's hard-wrap into
+                # zero-progress iteration (an unauthenticated CPU-spin).
+                payload["max_chars"] = min(2000, max(20, int(payload.get("max_chars", 200))))
+                if payload.get("speaking_rate") is not None:
+                    payload["speaking_rate"] = float(payload["speaking_rate"])
+                if payload.get("spk") is not None:
+                    payload["spk"] = int(payload["spk"])
             # ValueError covers JSONDecodeError, bad Content-Length ints and
             # UnicodeDecodeError (non-UTF-8 bodies); TypeError covers
             # non-object JSON payloads. Anything here is the client's fault.
@@ -705,7 +721,7 @@ def make_http_server(batcher: BatchingServer, host: str = "127.0.0.1", port: int
                 if self.path == "/synthesise_long":
                     reqs = batcher.submit_long(text, payload.get("speaking_rate"),
                                                payload.get("spk"),
-                                               max_chars=int(payload.get("max_chars", 200)))
+                                               max_chars=payload["max_chars"])
                     err = next((r.error for r in reqs if r.error), None)
                     if err:
                         self._json(500, {"error": err})

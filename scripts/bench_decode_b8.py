@@ -12,7 +12,9 @@ Measures, steady-state (queued dispatches, one forcing fetch):
 and reports XLA cost-analysis bytes for both, plus the mel deviation
 between the two paths (durations are f32/bit-identical in both).
 
-Usage: python scripts/bench_decode_b8.py [--steps K] [--ty 1024]
+Usage: python scripts/bench_decode_b8.py [--iters K] [--ty 1024]
+(--iters is the number of timed dispatch iterations; the Euler step count
+is fixed at the protocol's 10 steps)
 """
 
 import argparse
@@ -44,7 +46,8 @@ def cost_of(compiled):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=10,
+                    help="timed dispatch iterations (NOT Euler steps; those are fixed at 10)")
     ap.add_argument("--ty", type=int, default=1024)
     ap.add_argument("--tx", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
@@ -87,13 +90,13 @@ def main():
             dec.lower(p, mu_x, w_ceil, xl, y_lengths, key, spks=None).compile())
         out = dec(p, mu_x, w_ceil, xl, y_lengths, key, spks=None)
         mels[label] = np.asarray(out["mel"])
-        keys = list(jax.random.split(key, 2 * args.steps))
+        keys = list(jax.random.split(key, 2 * args.iters))
         jax.block_until_ready(keys)
 
         def disp(i, dec=dec, p=p, keys=keys):
             return dec(p, mu_x, w_ceil, xl, y_lengths, keys[i], spks=None)
 
-        secs = timeit(disp, lambda o: float(o["mel"][0, 0, 0]), args.steps)
+        secs = timeit(disp, lambda o: float(o["mel"][0, 0, 0]), args.iters)
         results[label] = {
             "time_ms": round(secs * 1e3, 2),
             "gflops": round(flops / 1e9, 1),

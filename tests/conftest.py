@@ -24,11 +24,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the fast suite's wall time is dominated by
-# CPU XLA compiles (tiny-model graphs recompiled identically every run).
-# Same helper every entry point uses; MATCHA_COMPILATION_CACHE=off disables.
+# CPU XLA compiles (tiny-model graphs recompiled identically every run) —
+# measured 13m17s cold vs 6m43s warm. Kept repo-local (gitignored .cache/)
+# rather than in the user data dir so the suite never grows state outside
+# the checkout; MATCHA_COMPILATION_CACHE=off disables.
 from matcha_tpu.utils.utils import enable_compilation_cache  # noqa: E402
 
-enable_compilation_cache()
+# cache_dir wins over the env var inside the helper, so only pass the
+# repo-local default when the user didn't set MATCHA_COMPILATION_CACHE
+# (preserving the "off" escape hatch).
+enable_compilation_cache(
+    cache_dir=None if os.environ.get("MATCHA_COMPILATION_CACHE")
+    else os.path.join(os.path.dirname(__file__), "..", ".cache", "test_xla_cache"))
 
 # Parity tests compare against torch f32; JAX's default matmul/conv
 # precision is bf16-grade (even on CPU), so pin full f32 for tests.

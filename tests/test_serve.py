@@ -435,16 +435,43 @@ def test_http_fuzz_malformed_requests(batcher):
              json.dumps({"text": "hi", "max_chars": "lots"}).encode(), None),
             ("bad Content-Length header", "/synthesise", b"{}",
              {"Content-Length": "banana"}),
+            ("text not a string", "/synthesise",
+             json.dumps({"text": 42}).encode(), None),
+            ("text null (stream parse)", "/synthesise_stream",
+             json.dumps({"text": None}).encode(), None),
+            ("bad speaking_rate type (stream parse)", "/synthesise_stream",
+             json.dumps({"text": "hi", "speaking_rate": "fast"}).encode(), None),
+            ("bad spk type", "/synthesise",
+             json.dumps({"text": "hi", "spk": "abc"}).encode(), None),
         ]
         for name, path, data, headers in cases:
             code = post(path, data, headers)
             assert 400 <= code < 500, f"{name}: expected 4xx, got {code}"
 
+        # Oversized body: the server answers 413 without draining the
+        # upload, so depending on write/read timing the client either reads
+        # the 413 or hits EPIPE mid-send (nginx-style refusal) — both mean
+        # "refused". It must never 200 or hang.
+        try:
+            code = post("/synthesise", b"x" * ((1 << 20) + 1))
+            assert code == 413, f"oversized body: expected 413, got {code}"
+        except urllib.error.URLError:
+            pass  # broken pipe while uploading the refused body
+
+        # max_chars <= 0 once drove the sentence splitter into an infinite
+        # zero-progress loop (CPU-spin DoS); it now clamps and completes
+        code = post("/synthesise_long",
+                    json.dumps({"text": "short text", "max_chars": 0,
+                                "format": "json"}).encode())
+        assert code == 200
+
         assert post("/nope", b"{}", None) == 404
-        with urllib.request.urlopen(f"{url}/nope", timeout=30) as _:
-            pass
-    except urllib.error.HTTPError as e:
-        assert e.code == 404  # GET unknown path
+        try:
+            with urllib.request.urlopen(f"{url}/nope", timeout=30) as resp:
+                get_code = resp.status
+        except urllib.error.HTTPError as e:
+            get_code = e.code
+        assert get_code == 404  # GET unknown path
     finally:
         # server must still answer after all the abuse
         with urllib.request.urlopen(f"{url}/healthz", timeout=30) as resp:

@@ -377,26 +377,34 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
 
     from matcha_tpu.utils.utils import enable_compilation_cache
 
-    target = tmp_path / "xla_cache"
-    monkeypatch.setenv("MATCHA_COMPILATION_CACHE", str(target))
-    enable_compilation_cache()
-    assert target.is_dir()
-    assert jax.config.jax_compilation_cache_dir == str(target)
+    # monkeypatch restores env vars but NOT jax.config: restore the cache
+    # dir ourselves, or every test compiled after this one silently stops
+    # reusing the suite-wide cache conftest.py set up (it would write to
+    # this test's throwaway tmp dir instead).
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        target = tmp_path / "xla_cache"
+        monkeypatch.setenv("MATCHA_COMPILATION_CACHE", str(target))
+        enable_compilation_cache()
+        assert target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
 
-    # "off" leaves the previous setting untouched
-    monkeypatch.setenv("MATCHA_COMPILATION_CACHE", "off")
-    enable_compilation_cache()
-    assert jax.config.jax_compilation_cache_dir == str(target)
+        # "off" leaves the previous setting untouched
+        monkeypatch.setenv("MATCHA_COMPILATION_CACHE", "off")
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(target)
 
-    # Regression: with NO env var the default user-dir path must still
-    # enable (str(None)=="none" once matched the off-switch list and
-    # silently disabled the cache for every entry point).
-    monkeypatch.delenv("MATCHA_COMPILATION_CACHE")
-    default_dir = tmp_path / "default_home"
-    monkeypatch.setenv("MATCHA_HOME", str(default_dir))
-    enable_compilation_cache()
-    assert jax.config.jax_compilation_cache_dir != str(target)
-    assert "xla_cache" in jax.config.jax_compilation_cache_dir
+        # Regression: with NO env var the default user-dir path must still
+        # enable (str(None)=="none" once matched the off-switch list and
+        # silently disabled the cache for every entry point).
+        monkeypatch.delenv("MATCHA_COMPILATION_CACHE")
+        default_dir = tmp_path / "default_home"
+        monkeypatch.setenv("MATCHA_HOME", str(default_dir))
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir != str(target)
+        assert "xla_cache" in jax.config.jax_compilation_cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 @pytest.mark.slow
 def test_callbacks_none_and_model_summary(tmp_path, datamodule):
