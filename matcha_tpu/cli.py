@@ -299,10 +299,11 @@ class TTSPipeline:
         return self._decode_voc_cache[key]
 
     # Below this many total mel frames (B x T_y, static under jit) the XLA
-    # conv path beats the Pallas MRF kernel: measured at B=1/T_y=512 XLA is
-    # ~11 ms device vs Pallas ~22 ms (the serial per-grid-step DMA waits
-    # dominate small grids), while at B=8/T_y=1024 Pallas wins 76 vs 168 ms
-    # (scripts/profile_latency.py).
+    # conv path beats the hybrid Pallas generator: measured at B=1/T_y=512
+    # XLA is ~11 ms device vs Pallas ~22 ms (the serial per-grid-step DMA
+    # waits dominate small grids), while at B=8/T_y=1024 the hybrid wins
+    # 68.8 vs 102.3 ms (scripts/profile_vocoder.py; the hybrid itself
+    # keeps C>=128 MRF stages on XLA — hifigan_pallas.py docstring).
     PALLAS_MIN_MEL_FRAMES = 4096
 
     def _voc_apply(self):

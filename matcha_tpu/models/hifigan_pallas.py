@@ -1,11 +1,22 @@
 """HiFi-GAN generator forward with Pallas-fused MRF stages (serving path).
 
 Functionally identical to ``Generator.apply`` on folded (inference-form)
-params, but each multi-receptive-field stage runs as ONE Pallas kernel
-(matcha_tpu/ops/mrf_pallas.py) instead of 18 XLA conv round trips. The
-conv_pre / transposed-conv upsamples / conv_post remain XLA (they are
-MXU-bound and already efficient); the MRF stacks are the HBM-bandwidth
-bottleneck this path removes (PERFORMANCE.md).
+params, but the NARROW multi-receptive-field stages (C <= 64) run as ONE
+Pallas kernel each (matcha_tpu/ops/mrf_pallas.py). Where each stage goes
+is measured, not assumed (scripts/profile_vocoder_stages.py, honest
+in-graph prefix deltas at B=8):
+
+  * C >= 128 stages stay XLA — XLA's conv pipeline runs them at
+    ~80-94% of the MXU bf16 rate (mrf_0 C=256: 5.8 ms; mrf_1 C=128:
+    13.7 ms XLA vs 19.3 ms Pallas), so fusing them is a LOSS.
+  * C in {32, 64} stages are MXU-geometry-bound (a conv's matmul has
+    M = C_out rows, so a 32-channel conv fills 25% of the 128x128
+    systolic array) — there XLA collapses (mrf_3 C=32: 51.5 ms) and
+    the fused Pallas kernel wins 1.3-2.7x (18.3 / 19.1 ms).
+
+conv_pre / transposed-conv upsamples / conv_post remain XLA (0.5-2 ms
+each; a phase-decomposed "subpixel" transposed conv measured neutral —
+XLA strength-reduces lhs_dilation fine; kept opt-in for reference).
 
 Usage (serving): ``wav = generator_apply_pallas(params, config, mel)``
 with the same params pytree the flax Generator uses. Selected in the CLI
@@ -46,6 +57,37 @@ def _conv_transpose1d(x, kernel, bias, stride: int, padding: int, dtype=None):
     return y + bias.astype(dtype)
 
 
+def _conv_transpose1d_subpixel(x, kernel, bias, stride: int, padding: int, dtype=None):
+    """Same math as :func:`_conv_transpose1d` but phase-decomposed: one
+    dense conv with ceil(k/u) taps producing all u output phases along the
+    channel axis, then a depth-to-space interleave. Avoids ``lhs_dilation``
+    (XLA:TPU zero-stuffs the input, wasting ~u× the MACs)."""
+    from matcha_tpu.models.components.common import _subpixel_plan
+
+    dtype = dtype or x.dtype
+    k, cin, cout = kernel.shape
+    # depth-to-space emits exactly T*stride samples, which equals the
+    # transposed conv's (T-1)*stride - 2*padding + k only when
+    # 2*padding == k - stride — true for every HiFi-GAN upsample.
+    if 2 * padding != k - stride:
+        raise ValueError(
+            f"subpixel transposed conv requires 2*padding == k - stride "
+            f"(got k={k}, stride={stride}, padding={padding})")
+    d_min, L, placements = _subpixel_plan(k, stride, padding)
+    w_all = jnp.zeros((L, cin, stride * cout), kernel.dtype)
+    for r, taps in enumerate(placements):
+        for d, h in taps:
+            w_all = w_all.at[d - d_min, :, r * cout : (r + 1) * cout].set(kernel[h])
+    x_pad = jnp.pad(x, ((0, 0), (-d_min, L - 1 + d_min), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        x_pad.astype(dtype), w_all.astype(dtype), window_strides=(1,),
+        padding=[(0, 0)], dimension_numbers=("NHC", "HIO", "NHC"),
+    )  # (B, T, u*cout)
+    B, T, _ = y.shape
+    y = y.reshape(B, T, stride, cout).reshape(B, T * stride, cout)
+    return y + bias.astype(dtype)
+
+
 def _leaky(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
@@ -82,17 +124,20 @@ def generator_apply_pallas(
     mel: jnp.ndarray = None,
     interpret: bool = False,
     compute_dtype=jnp.float32,
-    max_pallas_channels: int = 128,
+    max_pallas_channels: int = 64,
     t_tile: Optional[int] = None,
+    upsample_impl: str = "dilated",
+    narrow_impl: str = "plain",
 ) -> jnp.ndarray:
     """Mel (B, T, num_mels) -> waveform (B, T*hop, 1), tanh output.
 
     Drop-in for ``Generator(h).apply(variables, mel)`` on folded params.
-    Stages wider than ``max_pallas_channels`` fall back to XLA convs
-    (their stacked weights alone exceed the 16 MB VMEM budget; they are
-    also short in time, so fusion buys little there).
-    ``compute_dtype=jnp.bfloat16`` runs the fused matmuls at the MXU's
-    bf16 rate (waveform deviation ~1e-3, same as --bf16-vocoder).
+    Stages wider than ``max_pallas_channels`` run as XLA convs — measured
+    FASTER there (see module docstring); the Pallas kernel is for the
+    narrow stages where conv matmul geometry (M = C_out) starves the MXU.
+    ``compute_dtype`` is moot on TPU: JAX's default matmul precision
+    already truncates f32 dot inputs to bf16 (one MXU pass), which is how
+    the C=128 stages exceed the f32 peak rate.
     """
     h = h or HiFiGANConfig()
     p = variables["params"]
@@ -105,21 +150,35 @@ def generator_apply_pallas(
     for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
         x = _leaky(x, lrelu)
         up = p[f"ups_{i}"]
-        x = _conv_transpose1d(x, up["kernel"], up["bias"], stride=u, padding=(k - u) // 2)
+        up_fn = _conv_transpose1d_subpixel if upsample_impl == "subpixel" else _conv_transpose1d
+        x = up_fn(x, up["kernel"], up["bias"], stride=u, padding=(k - u) // 2)
         blocks = [p[f"resblocks_{i * num_kernels + j}"] for j in range(num_kernels)]
         C = x.shape[-1]
         if C > max_pallas_channels:
             x = _xla_mrf_stage(x, blocks, h)
             continue
         weights = mrf_weights_from_params(blocks, n_dil=len(h.resblock_dilation_sizes[0]))
-        # The Pallas stage computes in f32 VMEM regardless of the serving
-        # dtype: Mosaic cannot lower sub-32-bit minor-dim broadcasts (the
-        # bias add), and in-kernel bf16 measured no faster anyway (the
-        # stage is layout/DMA-bound, not MXU-bound — PERFORMANCE.md). With
+        # The Pallas stage stores activations in f32 VMEM regardless of
+        # the serving dtype (Mosaic cannot lower sub-32-bit minor-dim
+        # broadcasts — the bias add); the matmuls themselves already run
+        # at the MXU bf16 rate via JAX's default matmul precision. With
         # --bf16-vocoder, only the XLA stages (conv_pre, upsamples, wide
         # MRFs, conv_post) keep the bf16 bandwidth saving.
         act_dtype = x.dtype
         weights = tuple(w.astype(jnp.float32) for w in weights)
+        if narrow_impl == "phase" and 128 // C >= 2:
+            # Phase-packed kernel: full 128-row MXU fill at C in {32, 64}.
+            # Measured NEUTRAL in-graph vs "plain" (see fused_mrf_stage_phase
+            # docstring); kept as the documented experiment, not the default.
+            from matcha_tpu.ops.mrf_pallas import fused_mrf_stage_phase
+
+            x = fused_mrf_stage_phase(
+                x.astype(jnp.float32), weights,
+                kernel_sizes=tuple(h.resblock_kernel_sizes),
+                dilations=tuple(tuple(d) for d in h.resblock_dilation_sizes),
+                interpret=interpret,
+            ).astype(act_dtype)
+            continue
         # Pallas stage runs (C, T) lane-major
         x_cf = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
         x_cf = fused_mrf_stage(

@@ -13,7 +13,11 @@ import pytest
 
 from matcha_tpu.models.hifigan import Generator, HiFiGANConfig, ResBlock1
 from matcha_tpu.models.hifigan_pallas import generator_apply_pallas
-from matcha_tpu.ops.mrf_pallas import fused_mrf_stage, mrf_weights_from_params
+from matcha_tpu.ops.mrf_pallas import (
+    fused_mrf_stage,
+    fused_mrf_stage_phase,
+    mrf_weights_from_params,
+)
 
 
 def test_fused_mrf_stage_matches_resblocks(rng):
@@ -35,6 +39,32 @@ def test_fused_mrf_stage_matches_resblocks(rng):
     got = fused_mrf_stage(jnp.asarray(x.transpose(0, 2, 1)), wts,
                           t_tile=256, interpret=True)
     got = np.asarray(got).transpose(0, 2, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("C,T,tt", [(32, 700, 128), (64, 513, 128)])
+def test_fused_mrf_stage_phase_matches_resblocks(rng, C, T, tt):
+    """Phase-packed narrow-stage kernel (ops/mrf_pallas.py): time phases
+    repacked into sublanes for full MXU fill at C in {32, 64}. Exercises
+    non-multiple-of-P*t_tile lengths (edge masking in packed coordinates)
+    and the accumulated packed-lane halo."""
+    B = 2
+    x = rng.normal(size=(B, T, C)).astype(np.float32)
+    ks = (3, 7, 11)
+    key = jax.random.PRNGKey(0)
+    xs = None
+    blocks = []
+    for n, k in enumerate(ks):
+        blk = ResBlock1(C, k, (1, 3, 5))
+        p = blk.init(jax.random.fold_in(key, n), jnp.asarray(x))
+        blocks.append(p)
+        y = blk.apply(p, jnp.asarray(x))
+        xs = y if xs is None else xs + y
+    ref = np.asarray(xs / 3)
+
+    wts = mrf_weights_from_params([p["params"] for p in blocks])
+    got = np.asarray(fused_mrf_stage_phase(jnp.asarray(x), wts, t_tile=tt,
+                                           interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 

@@ -21,6 +21,27 @@ def test_subpixel_matches_dilated(rng, k, u, p):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("k,u,p", [(16, 8, 4), (4, 2, 1), (12, 4, 4)])
+def test_pallas_path_subpixel_helper_matches_dilated(rng, k, u, p):
+    """The serving-path helper twin (hifigan_pallas._conv_transpose1d_subpixel)
+    must match the lhs_dilation implementation on the converter's
+    already-flipped kernel layout. Cases satisfy the helper's HiFi-GAN
+    contract 2*padding == k - stride (it raises otherwise)."""
+    from matcha_tpu.models.hifigan_pallas import (
+        _conv_transpose1d,
+        _conv_transpose1d_subpixel,
+    )
+
+    cin, cout = 12, 6
+    x = jnp.asarray(rng.normal(size=(2, 20, cin)).astype(np.float32))
+    kern = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = _conv_transpose1d(x, kern, bias, stride=u, padding=p)
+    got = _conv_transpose1d_subpixel(x, kern, bias, stride=u, padding=p)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_generator_impls_agree(rng):
     from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
 
