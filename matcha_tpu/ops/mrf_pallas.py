@@ -152,7 +152,7 @@ def fused_mrf_stage(
     w_specs = [
         pl.BlockSpec(w.shape, lambda b, i, _n=w.ndim: (0,) * _n) for w in weights
     ]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + w_specs
 
     out = pl.pallas_call(
         kernel,
@@ -376,7 +376,7 @@ def fused_mrf_stage_phase(
     w_specs = [
         pl.BlockSpec(w.shape, lambda b, i, _n=w.ndim: (0,) * _n) for w in packed
     ]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + w_specs
 
     out = pl.pallas_call(
         kernel,

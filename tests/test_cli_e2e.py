@@ -419,6 +419,7 @@ def test_auto_bucket_packed_single_sync_with_vocoder(fabricated_ckpts, monkeypat
                                   np.asarray(out["waveform"]))
 
 
+@pytest.mark.slow
 def test_bf16_latency_fused_close_to_f32(fabricated_ckpts, monkeypatch):
     """``--bf16-latency`` (TTSPipeline bf16_latency=True): the fused
     single-jit graph runs the CFM Euler loop + vocoder tail in bf16.
@@ -506,10 +507,29 @@ def test_pcm24_transfer_matches_f32_path(fabricated_ckpts, monkeypatch):
     raw = np.asarray(op["wav_pcm24"])[0, :-3].tobytes()
     assert raw == pcm24_bytes(np.asarray(op["waveform"][0]))
 
-    # DYNAMIC path (serve's): pack_wav ships the same wire format — the
-    # unpacked waveform matches the f32 transfer within one quantization
-    # step and mel_lengths ride the same payload
-    from matcha_tpu.cli import _unpack_pcm24
+
+@pytest.mark.slow
+def test_pcm24_pack_wav_dynamic_path(fabricated_ckpts, monkeypatch):
+    """DYNAMIC path (serve's): pack_wav ships the same wire format — the
+    unpacked waveform matches the f32 transfer within one quantization
+    step and mel_lengths ride the same payload. Slow: two extra flagship
+    dynamic-path compiles; the fused-path wire format (the latency
+    serving default) is pinned by the fast test above."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, _unpack_pcm24, load_matcha, load_vocoder, process_text
+
+    ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    voc_ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    model, params = load_matcha("matcha_ljspeech", ckpt)
+    vocoder, voc_params, _ = load_vocoder("hifigan_T2_v1", voc_ckpt)
+
+    tp = process_text(0, "wire format check", "english_cleaners_no_espeak")
+    key = jax.random.PRNGKey(0)
+    args = (model, params, vocoder, voc_params, None, "english_cleaners_no_espeak")
+    pf32 = TTSPipeline(*args, vocoder_pallas=False, pcm24_transfer=False)
+    p24 = TTSPipeline(*args, vocoder_pallas=False)
 
     od = pf32.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1)
     ok = p24.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1,

@@ -198,6 +198,7 @@ def test_metric_logger_missing_backends_degrade_gracefully(tmp_path):
     assert (tmp_path / "m.csv").exists()
 
 
+@pytest.mark.slow
 def test_synthesise_bf16_compute_dtype_close_to_f32(tiny_model_and_params):
     """``compute_dtype=bf16`` (the TTSPipeline bf16_latency mode) runs the
     CFM Euler loop in bf16 against a bf16 decoder param subtree. Contract:

@@ -42,30 +42,49 @@ def test_fused_mrf_stage_matches_resblocks(rng):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
-@pytest.mark.parametrize("C,T,tt", [(32, 700, 128), (64, 513, 128)])
-def test_fused_mrf_stage_phase_matches_resblocks(rng, C, T, tt):
-    """Phase-packed narrow-stage kernel (ops/mrf_pallas.py): time phases
-    repacked into sublanes for full MXU fill at C in {32, 64}. Exercises
-    non-multiple-of-P*t_tile lengths (edge masking in packed coordinates)
-    and the accumulated packed-lane halo."""
-    B = 2
+def _phase_vs_resblocks(rng, C, T, tt, ks, dils):
+    """Drive fused_mrf_stage_phase (interpret) against the flax ResBlock1
+    stack for an arbitrary MRF config; the kernel is config-generic."""
+    B = 1
     x = rng.normal(size=(B, T, C)).astype(np.float32)
-    ks = (3, 7, 11)
     key = jax.random.PRNGKey(0)
     xs = None
     blocks = []
     for n, k in enumerate(ks):
-        blk = ResBlock1(C, k, (1, 3, 5))
+        blk = ResBlock1(C, k, dils[n])
         p = blk.init(jax.random.fold_in(key, n), jnp.asarray(x))
         blocks.append(p)
         y = blk.apply(p, jnp.asarray(x))
         xs = y if xs is None else xs + y
-    ref = np.asarray(xs / 3)
+    ref = np.asarray(xs / len(ks))
 
-    wts = mrf_weights_from_params([p["params"] for p in blocks])
-    got = np.asarray(fused_mrf_stage_phase(jnp.asarray(x), wts, t_tile=tt,
-                                           interpret=True))
+    wts = mrf_weights_from_params([p["params"] for p in blocks],
+                                  n_dil=len(dils[0]))
+    got = np.asarray(fused_mrf_stage_phase(
+        jnp.asarray(x), wts, kernel_sizes=ks, dilations=tuple(dils),
+        t_tile=tt, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("C,T", [(32, 700), (64, 260)])
+def test_fused_mrf_stage_phase_matches_resblocks(rng, C, T):
+    """Phase-packed narrow-stage kernel (ops/mrf_pallas.py): time phases
+    repacked into sublanes for full MXU fill at C in {32, 64} (P=4 vs
+    P=2 offset/halo geometry). Exercises non-multiple-of-P*t_tile lengths
+    (edge masking in packed coordinates) and multi-tile grids. A reduced
+    2-block MRF config keeps interpret-mode tracing cheap; the full v1
+    config is pinned by the slow test below."""
+    _phase_vs_resblocks(rng, C, T, tt=128, ks=(3, 7), dils=((1, 3), (1, 3)))
+
+
+@pytest.mark.slow
+def test_fused_mrf_stage_phase_full_v1_config(rng):
+    """Full v1 MRF config (3 blocks, k=3/7/11, dilations (1,3,5)) through
+    the phase kernel — the exact geometry generator_apply_pallas
+    (narrow_impl='phase') would run, including the accumulated
+    packed-lane halo of the k=11/(1,3,5) chain."""
+    _phase_vs_resblocks(rng, 32, 700, tt=128, ks=(3, 7, 11),
+                        dils=((1, 3, 5),) * 3)
 
 
 @pytest.mark.slow

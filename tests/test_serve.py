@@ -168,6 +168,7 @@ def test_enqueue_quantizes_rate_and_applies_defaults():
         b._enqueue("this sentence is far beyond eight ids", None, None)
 
 
+@pytest.mark.slow
 def test_pipelined_scheduler_opt_in(batcher):
     """The opt-in dispatch/fetch pipelined scheduler (default OFF — see
     BatchingServer.pipelined) returns the same well-formed results and
