@@ -298,13 +298,17 @@ class TTSPipeline:
             self._decode_voc_cache[key] = self.jax.jit(fn)
         return self._decode_voc_cache[key]
 
-    # Below this many total mel frames (B x T_y, static under jit) the XLA
-    # conv path beats the hybrid Pallas generator: measured at B=1/T_y=512
-    # XLA is ~11 ms device vs Pallas ~22 ms (the serial per-grid-step DMA
-    # waits dominate small grids), while at B=8/T_y=1024 the hybrid wins
-    # 68.8 vs 102.3 ms (scripts/profile_vocoder.py; the hybrid itself
-    # keeps C>=128 MRF stages on XLA — hifigan_pallas.py docstring).
-    PALLAS_MIN_MEL_FRAMES = 4096
+    # Frame threshold (B x T_y, static under jit) above which the hybrid
+    # XLA/Pallas generator is used. 0 = always on TPU: since the hybrid
+    # keeps the wide (C>=128) stages on XLA and fuses only the narrow
+    # ones (hifigan_pallas.py docstring), it wins at EVERY measured
+    # shape — B=1/T=384 6.95 vs 26.98 ms, B=1/T=512 9.00 vs 25.93,
+    # B=2/T=512 11.95 vs 26.14 standalone, B=8/T=1024 68.8 vs 102.3
+    # (scripts/profile_vocoder.py), and inside the full fused B=1
+    # latency graph 10.57 vs 17.01 ms queued device time (e2e p50
+    # 42.6/p90 44.7 vs 51.7/65.0). The retired all-Pallas path lost at
+    # small grids; the hybrid does not.
+    PALLAS_MIN_MEL_FRAMES = 0
 
     def _voc_apply(self):
         """The mel->wav callable: Pallas-fused MRF path (default on TPU,

@@ -110,6 +110,45 @@ def _subpixel_plan(kernel_size: int, stride: int, padding: int):
     return d_min, d_max - d_min + 1, placements
 
 
+def subpixel_conv_transpose1d(x, kernel, bias, stride: int, padding: int,
+                              dtype=None):
+    """Functional subpixel transposed conv — the shared core of
+    :class:`SubPixelConvTranspose1d` and the serving-path helper
+    (models/hifigan_pallas.py): one dense conv producing all ``stride``
+    output phases along the channel axis, then a depth-to-space
+    interleave. Avoids ``lhs_dilation`` zero-stuffing.
+
+    Depth-to-space emits exactly T*stride samples, which equals the
+    transposed conv's (T-1)*stride - 2*padding + k only when
+    2*padding == k - stride — true for every HiFi-GAN upsample; raises
+    otherwise. ``bias=None`` skips the bias add.
+    """
+    dtype = dtype or x.dtype
+    k, cin, cout = kernel.shape
+    u = stride
+    if 2 * padding != k - u:
+        raise ValueError(
+            f"subpixel transposed conv requires 2*padding == k - stride "
+            f"(got k={k}, stride={u}, padding={padding})")
+    d_min, L, placements = _subpixel_plan(k, u, padding)
+    # Pack phase sub-kernels along the output-channel axis:
+    # W_all[l, :, r*out + o] = kernel[h, :, o] for (d, h) with d-d_min==l.
+    w_all = jnp.zeros((L, cin, u * cout), kernel.dtype)
+    for r, taps in enumerate(placements):
+        for d, h in taps:
+            w_all = w_all.at[d - d_min, :, r * cout : (r + 1) * cout].set(kernel[h])
+    x_pad = jnp.pad(x, ((0, 0), (-d_min, L - 1 + d_min), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        x_pad.astype(dtype), w_all.astype(dtype), window_strides=(1,),
+        padding=[(0, 0)], dimension_numbers=("NHC", "HIO", "NHC"),
+    )  # (B, T, u*cout)
+    B, T, _ = y.shape
+    y = y.reshape(B, T, u, cout).reshape(B, T * u, cout)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class SubPixelConvTranspose1d(nn.Module):
     """Transposed conv as a regular conv + depth-to-space interleave.
 
@@ -133,29 +172,10 @@ class SubPixelConvTranspose1d(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel_size, in_features, self.features),
         )
-        u = self.stride
-        d_min, L, placements = _subpixel_plan(self.kernel_size, u, self.padding)
-
-        # Pack phase sub-kernels along the output-channel axis:
-        # W_all[l, :, r*out + o] = kernel[h, :, o] for (d, h) with d-d_min==l.
-        w_all = jnp.zeros((L, in_features, u * self.features), kernel.dtype)
-        for r, taps in enumerate(placements):
-            for d, h in taps:
-                w_all = w_all.at[d - d_min, :, r * self.features : (r + 1) * self.features].set(
-                    kernel[h]
-                )
-
-        x_pad = jnp.pad(x, ((0, 0), (-d_min, L - 1 + d_min), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            x_pad, w_all, window_strides=(1,), padding=[(0, 0)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )  # (B, T, u*out)
-        B, T, _ = y.shape
-        y = y.reshape(B, T, u, self.features).reshape(B, T * u, self.features)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
-        return y
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return subpixel_conv_transpose1d(
+            x, kernel, bias, stride=self.stride, padding=self.padding)
 
 
 class WNConv1d(nn.Module):

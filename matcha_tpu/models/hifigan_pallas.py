@@ -58,34 +58,13 @@ def _conv_transpose1d(x, kernel, bias, stride: int, padding: int, dtype=None):
 
 
 def _conv_transpose1d_subpixel(x, kernel, bias, stride: int, padding: int, dtype=None):
-    """Same math as :func:`_conv_transpose1d` but phase-decomposed: one
-    dense conv with ceil(k/u) taps producing all u output phases along the
-    channel axis, then a depth-to-space interleave. Avoids ``lhs_dilation``
-    (XLA:TPU zero-stuffs the input, wasting ~u× the MACs)."""
-    from matcha_tpu.models.components.common import _subpixel_plan
+    """Same math as :func:`_conv_transpose1d` but phase-decomposed (no
+    ``lhs_dilation`` zero-stuffing) — delegates to the shared functional
+    core in components/common.py (also used by SubPixelConvTranspose1d)."""
+    from matcha_tpu.models.components.common import subpixel_conv_transpose1d
 
-    dtype = dtype or x.dtype
-    k, cin, cout = kernel.shape
-    # depth-to-space emits exactly T*stride samples, which equals the
-    # transposed conv's (T-1)*stride - 2*padding + k only when
-    # 2*padding == k - stride — true for every HiFi-GAN upsample.
-    if 2 * padding != k - stride:
-        raise ValueError(
-            f"subpixel transposed conv requires 2*padding == k - stride "
-            f"(got k={k}, stride={stride}, padding={padding})")
-    d_min, L, placements = _subpixel_plan(k, stride, padding)
-    w_all = jnp.zeros((L, cin, stride * cout), kernel.dtype)
-    for r, taps in enumerate(placements):
-        for d, h in taps:
-            w_all = w_all.at[d - d_min, :, r * cout : (r + 1) * cout].set(kernel[h])
-    x_pad = jnp.pad(x, ((0, 0), (-d_min, L - 1 + d_min), (0, 0)))
-    y = jax.lax.conv_general_dilated(
-        x_pad.astype(dtype), w_all.astype(dtype), window_strides=(1,),
-        padding=[(0, 0)], dimension_numbers=("NHC", "HIO", "NHC"),
-    )  # (B, T, u*cout)
-    B, T, _ = y.shape
-    y = y.reshape(B, T, stride, cout).reshape(B, T * stride, cout)
-    return y + bias.astype(dtype)
+    return subpixel_conv_transpose1d(x, kernel, bias, stride=stride,
+                                     padding=padding, dtype=dtype)
 
 
 def _leaky(x, slope):
@@ -172,11 +151,14 @@ def generator_apply_pallas(
             # docstring); kept as the documented experiment, not the default.
             from matcha_tpu.ops.mrf_pallas import fused_mrf_stage_phase
 
+            phase_kwargs = {}
+            if t_tile is not None:
+                phase_kwargs["t_tile"] = t_tile  # counts PACKED lanes here
             x = fused_mrf_stage_phase(
                 x.astype(jnp.float32), weights,
                 kernel_sizes=tuple(h.resblock_kernel_sizes),
                 dilations=tuple(tuple(d) for d in h.resblock_dilation_sizes),
-                interpret=interpret,
+                interpret=interpret, **phase_kwargs,
             ).astype(act_dtype)
             continue
         # Pallas stage runs (C, T) lane-major

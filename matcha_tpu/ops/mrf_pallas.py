@@ -27,6 +27,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -234,17 +235,24 @@ def _pack_conv_weights(W, bias, d: int, k: int, P: int):
     """(k, C_in, C_out) flax kernel -> (P*C_out, |O|*C_in) packed matmul
     weights + (P*C_out,) bias, placing tap t of output phase p at offset
     column-block index of o = p + (t-c0)*d. Within one output phase the
-    taps map to distinct offsets, so the block writes never collide."""
+    taps map to distinct offsets, so the placements never collide.
+
+    Built as ONE einsum against a constant 0/1 placement tensor (rather
+    than P*k dynamic-update-slices) so that when the packing is traced —
+    e.g. params passed as jit arguments in a serving graph — it costs a
+    single tiny contraction per conv per call, not hundreds of scatter
+    ops."""
     offsets = _phase_offsets(k, d, P)
     oi = {o: i for i, o in enumerate(offsets)}
     c0 = (k - 1) // 2
     C_in, C_out = W.shape[1], W.shape[2]
-    Wp = jnp.zeros((P * C_out, len(offsets) * C_in), W.dtype)
+    M = np.zeros((k, P, len(offsets)), np.float32)
     for p in range(P):
         for t in range(k):
-            q = oi[p + (t - c0) * d]
-            Wp = Wp.at[p * C_out : (p + 1) * C_out, q * C_in : (q + 1) * C_in].set(W[t].T)
-    return Wp, jnp.tile(bias, P)
+            M[t, p, oi[p + (t - c0) * d]] = 1.0
+    # Wp[(p, o), (q, i)] = sum_t M[t, p, q] * W[t, i, o]
+    Wp = jnp.einsum("tpq,tio->poqi", jnp.asarray(M, W.dtype), W)
+    return Wp.reshape(P * C_out, len(offsets) * C_in), jnp.tile(bias, P)
 
 
 def pack_mrf_weights_phase(weights: Tuple[jnp.ndarray, ...], kernel_sizes,

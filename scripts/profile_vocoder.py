@@ -11,7 +11,11 @@ real chip, and A/B the candidate optimizations:
 
 Timing protocol: device-resident varied inputs, K dispatches queued
 back-to-back, ONE forcing data fetch (see scripts/mfu.py notes on the
-tunnel backend).
+tunnel backend). CAVEAT: the per-upsample / per-MRF / phase sections
+time small (0.5-20 ms) standalone jits, which the tunnel's per-dispatch
+floor overstates 2-3x — treat them as A/B comparisons at the same shape
+only; per-stage ABSOLUTE costs come from the prefix-graph deltas in
+scripts/profile_vocoder_stages.py (PERFORMANCE.md "Pitfalls").
 
 Usage: python scripts/profile_vocoder.py [--steps 10] [--mel-frames 1024] [--batch 8]
 """
@@ -19,11 +23,11 @@ Usage: python scripts/profile_vocoder.py [--steps 10] [--mel-frames 1024] [--bat
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -37,16 +41,7 @@ from matcha_tpu.models.hifigan_pallas import (
 from matcha_tpu.ops.mrf_pallas import fused_mrf_stage, mrf_weights_from_params, pick_t_tile
 
 
-def timeit(fn, inputs, n):
-    outs = [fn(x) for x in inputs[:2]]  # warm compile
-    jax.block_until_ready(outs)
-    t0 = time.perf_counter()
-    res = [fn(inputs[i % len(inputs)]) for i in range(n)]
-    leaf = jax.tree_util.tree_leaves(res[-1])[0]
-    np.asarray(jax.device_get(leaf.ravel()[:1]))
-    dt = (time.perf_counter() - t0) / n
-    jax.block_until_ready(res)
-    return dt
+from _timing import timeit  # noqa: E402  (shared queued-dispatch protocol)
 
 
 def main():
@@ -57,7 +52,8 @@ def main():
     ap.add_argument("--only", default="",
                     help="comma list of sections/names: full_pallas_dilated,"
                          "full_pallas_subpixel,full_xla_dilated,full_xla_subpixel,"
-                         "ups,swap,mrf")
+                         "full_pallas_phase,full_pallas_phase_subpixel,"
+                         "ups,swap,mrf,phase")
     args = ap.parse_args()
     only = set(filter(None, args.only.split(",")))
 
@@ -134,6 +130,9 @@ def main():
         print(f"ups_{i} (C{cin}->{cout}, T{tin}->{tin*u}, k{k}/u{u}): dilated {d1*1e3:7.2f} ms  subpixel {d2*1e3:7.2f} ms  maxdev {dev:.2e}", flush=True)
 
     # --- swapaxes relayout cost per Pallas stage -----------------------
+    # An optimization_barrier stands in for the opaque pallas_call the
+    # real relayouts bracket: without it XLA cancels transpose(transpose)
+    # outright and f_t compiles to the same HLO as f_0 (measuring 0).
     for (i, u, k, cin, cout, tin) in shapes:
         if not want("swap"):
             break
@@ -145,8 +144,9 @@ def main():
             for j in range(2)
         ]
         jax.block_until_ready(xs)
-        f_t = jax.jit(lambda x: jnp.swapaxes(jnp.swapaxes(x, 1, 2) + 1.0, 1, 2))
-        f_0 = jax.jit(lambda x: x + 1.0)
+        f_t = jax.jit(lambda x: jnp.swapaxes(
+            jax.lax.optimization_barrier(jnp.swapaxes(x, 1, 2) + 1.0), 1, 2))
+        f_0 = jax.jit(lambda x: jax.lax.optimization_barrier(x + 1.0))
         dt = timeit(f_t, xs, n) - timeit(f_0, xs, n)
         print(f"swapaxes roundtrip stage {i} (C={cout}, T={tout}): {dt*1e3:7.2f} ms", flush=True)
 

@@ -13,11 +13,11 @@ Usage: python scripts/profile_vocoder_stages.py [--narrow-impl plain|phase]
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -38,16 +38,7 @@ from matcha_tpu.ops.mrf_pallas import (
 )
 
 
-def timeit(fn, inputs, n):
-    outs = [fn(x) for x in inputs[:2]]
-    jax.block_until_ready(outs)
-    t0 = time.perf_counter()
-    res = [fn(inputs[i % len(inputs)]) for i in range(n)]
-    leaf = jax.tree_util.tree_leaves(res[-1])[0]
-    np.asarray(jax.device_get(leaf.ravel()[:1]))
-    dt = (time.perf_counter() - t0) / n
-    jax.block_until_ready(res)
-    return dt
+from _timing import timeit  # noqa: E402  (shared queued-dispatch protocol)
 
 
 def make_prefix(variables, h, n_stages, narrow_impl, upsample_impl, with_post,
