@@ -309,14 +309,20 @@ class TTSPipeline:
     # 42.6/p90 44.7 vs 51.7/65.0). The retired all-Pallas path lost at
     # small grids; the hybrid does not.
     PALLAS_MIN_MEL_FRAMES = 0
+    # bf16 mel keeps the all-XLA path below this many frames (see the
+    # measurement note in base_apply): B=1/B=2 latency shapes stay XLA,
+    # B>=4 x 1024-frame throughput batches take the hybrid.
+    PALLAS_MIN_MEL_FRAMES_BF16 = 4096
 
     def _voc_apply(self):
-        """The mel->wav callable: Pallas-fused MRF path (default on TPU,
-        large batches) or the flax/XLA conv path (CPU, small batches, or
-        --no-pallas-vocoder). The choice is made per static mel shape at
-        trace time, so every jit cache entry gets the faster path.
-        With ``vocoder_chunk`` set, the generator runs on halo-padded mel
-        windows chained sequentially (optimization_barrier), so peak
+        """The mel->wav callable: the hybrid XLA/Pallas generator (default
+        on TPU for f32 mel at every shape — PALLAS_MIN_MEL_FRAMES=0; for
+        bf16 mel only at/above PALLAS_MIN_MEL_FRAMES_BF16) or the flax/XLA
+        conv path (CPU, --no-pallas-vocoder, or bf16 below the threshold —
+        see the measurement note below). The choice is made per static mel shape
+        at trace time, so every jit cache entry gets its measured-faster
+        path. With ``vocoder_chunk`` set, the generator runs on halo-padded
+        mel windows chained sequentially (optimization_barrier), so peak
         activation memory is one window instead of the whole utterance."""
         if self.vocoder_pallas and self.jax.default_backend() == "tpu":
             from matcha_tpu.models.hifigan_pallas import generator_apply_pallas
@@ -325,10 +331,19 @@ class TTSPipeline:
             flax_apply = self.vocoder.apply
 
             def base_apply(vp, mel):
-                # Pallas requires f32 (Mosaic cannot lower the kernel's
-                # bf16 minor-dim broadcasts; see --bf16-vocoder note).
-                if (mel.shape[0] * mel.shape[1] >= self.PALLAS_MIN_MEL_FRAMES
-                        and mel.dtype == self.jax.numpy.float32):
+                # bf16 serving (--bf16-vocoder/--bf16-latency) takes the
+                # hybrid only at throughput shapes: the narrow Pallas
+                # stages compute f32 in VMEM (Mosaic cannot lower the
+                # kernel's bf16 minor-dim broadcasts), and at B=1 the
+                # bf16<->f32 churn on the longest tensors dominates
+                # (measured B=1/T=384: bf16 hybrid 18.96 ms vs bf16 XLA
+                # 8.76) while at B=8/T=1024 the wide XLA stages' halved
+                # HBM traffic wins (bf16 hybrid 61.2 vs f32 hybrid 67.7
+                # vs bf16 XLA 74.4; parity 7e-4).
+                frames = mel.shape[0] * mel.shape[1]
+                is_f32 = mel.dtype == self.jax.numpy.float32
+                if frames >= (self.PALLAS_MIN_MEL_FRAMES if is_f32
+                              else self.PALLAS_MIN_MEL_FRAMES_BF16):
                     return generator_apply_pallas(vp, h, mel)
                 return flax_apply(vp, mel)
         else:
@@ -1007,7 +1022,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cleaner", type=str, default="english_cleaners2", help="Text cleaner (use english_cleaners_no_espeak without espeak)")
     parser.add_argument("--full-precision", action="store_true", help="f32 matmuls (closest parity with the torch reference)")
     parser.add_argument("--bf16-latency", action="store_true", help="run the fused single-jit serving graph (--fixed-y-bucket) with a bf16 CFM Euler loop + bf16 vocoder tail (~2e-4 wav deviation; durations stay f32/bit-identical). Measured NEUTRAL on v5e (device 10.6 vs 10.0 ms f32: --xla_allow_excess_precision keeps matmuls f32 and bf16 transposed convs hit a slower path, eating the halved HBM traffic) — kept for hardware where bf16 convs are fast")
-    parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~1e-3 wav deviation). Only useful with --no-pallas-vocoder: the Pallas MRF stages compute f32 in VMEM, and the dtype churn between stages makes the composite several times SLOWER than plain f32+Pallas (PERFORMANCE.md)")
+    parser.add_argument("--bf16-vocoder", action="store_true", help="bf16 vocoder weights/activations (~1e-3 wav deviation). At throughput shapes (>=4096 mel frames per batch) this now routes through the hybrid XLA/Pallas generator and is the fastest measured vocoder config (61.2 ms vs 67.7 f32-hybrid at B=8x1024); at B=1 latency shapes it stays on XLA convs (the narrow Pallas stages compute f32 in VMEM and the bf16<->f32 churn dominates small batches)")
     parser.add_argument("--no-pallas-vocoder", action="store_true", help="disable the Pallas-fused MRF vocoder kernel (default on: ~2.2x faster, ~3e-4 wav deviation)")
     parser.add_argument("--no-pcm24-transfer", action="store_true", help="fetch the fused-graph waveform as f32 instead of device-quantized 24-bit PCM (the written-WAV encoding; default pcm24 cuts the device->host payload 25%% with zero delivered-quality change)")
     parser.add_argument("--data-parallel", action="store_true", help="shard batches over ALL attached devices (data-parallel SPMD serving; params replicate once, each jit stage runs partitioned). Pick --batch_size a multiple of the device count.")

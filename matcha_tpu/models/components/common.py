@@ -12,6 +12,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -133,10 +134,17 @@ def subpixel_conv_transpose1d(x, kernel, bias, stride: int, padding: int,
     d_min, L, placements = _subpixel_plan(k, u, padding)
     # Pack phase sub-kernels along the output-channel axis:
     # W_all[l, :, r*out + o] = kernel[h, :, o] for (d, h) with d-d_min==l.
-    w_all = jnp.zeros((L, cin, u * cout), kernel.dtype)
+    # One einsum against a constant 0/1 placement tensor (not a loop of
+    # .at[].set()): when the kernel is a traced jit argument — the
+    # serving graph passes vocoder params per call — scatter packing
+    # would embed up to k dynamic-update-slices per upsample per call.
+    M = np.zeros((k, L, u), np.float32)
     for r, taps in enumerate(placements):
         for d, h in taps:
-            w_all = w_all.at[d - d_min, :, r * cout : (r + 1) * cout].set(kernel[h])
+            M[h, d - d_min, r] = 1.0
+    # w_all[l, i, (r, o)] = sum_h M[h, l, r] * kernel[h, i, o]
+    w_all = jnp.einsum("hlr,hio->liro", jnp.asarray(M, kernel.dtype), kernel)
+    w_all = w_all.reshape(L, cin, u * cout)
     x_pad = jnp.pad(x, ((0, 0), (-d_min, L - 1 + d_min), (0, 0)))
     y = jax.lax.conv_general_dilated(
         x_pad.astype(dtype), w_all.astype(dtype), window_strides=(1,),

@@ -107,6 +107,9 @@ def generator_apply_pallas(
     t_tile: Optional[int] = None,
     upsample_impl: str = "dilated",
     narrow_impl: str = "plain",
+    n_stages: Optional[int] = None,
+    skip_last_mrf: bool = False,
+    with_post: bool = True,
 ) -> jnp.ndarray:
     """Mel (B, T, num_mels) -> waveform (B, T*hop, 1), tanh output.
 
@@ -117,6 +120,14 @@ def generator_apply_pallas(
     ``compute_dtype`` is moot on TPU: JAX's default matmul precision
     already truncates f32 dot inputs to bf16 (one MXU pass), which is how
     the C=128 stages exceed the f32 peak rate.
+
+    ``n_stages``/``skip_last_mrf``/``with_post`` truncate the forward for
+    the prefix-graph profiler (scripts/profile_vocoder_stages.py) so its
+    per-stage deltas time THIS function's exact graph, not a re-typed
+    copy: stop after upsample+MRF stage ``n_stages``-1 (``skip_last_mrf``
+    stops after just its upsample), and ``with_post=False`` drops the
+    final leaky+conv_post+tanh. Serving always uses the defaults (full
+    forward).
     """
     h = h or HiFiGANConfig()
     p = variables["params"]
@@ -125,12 +136,17 @@ def generator_apply_pallas(
 
     from matcha_tpu.ops.mrf_pallas import pick_t_tile
 
+    n_stages = len(h.upsample_rates) if n_stages is None else n_stages
     x = _conv1d(mel, p["conv_pre"]["conv"]["kernel"], p["conv_pre"]["conv"]["bias"], padding=3)
     for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+        if i >= n_stages:
+            break
         x = _leaky(x, lrelu)
         up = p[f"ups_{i}"]
         up_fn = _conv_transpose1d_subpixel if upsample_impl == "subpixel" else _conv_transpose1d
         x = up_fn(x, up["kernel"], up["bias"], stride=u, padding=(k - u) // 2)
+        if skip_last_mrf and i == n_stages - 1:
+            break
         blocks = [p[f"resblocks_{i * num_kernels + j}"] for j in range(num_kernels)]
         C = x.shape[-1]
         if C > max_pallas_channels:
@@ -171,6 +187,8 @@ def generator_apply_pallas(
             compute_dtype=compute_dtype,
         )
         x = jnp.swapaxes(x_cf, 1, 2).astype(act_dtype)
+    if not with_post:
+        return x
     x = _leaky(x, 0.01)  # torch default slope before conv_post (models.py:193)
     x = _conv1d(x, p["conv_post"]["conv"]["kernel"], p["conv_post"]["conv"]["bias"], padding=3)
     return jnp.tanh(x)

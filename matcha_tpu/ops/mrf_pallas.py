@@ -23,7 +23,7 @@ reference torch semantics at matcha/hifigan/models.py:14-105,181-197.
 """
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +142,12 @@ def fused_mrf_stage(
     """
     B, C, T = x.shape
     n_blocks = len(kernel_sizes)
+    # Never tile wider than the (128-padded) sequence: pick_t_tile sizes
+    # the tile for long-T throughput shapes, and at short T the excess
+    # tile inflates the scratch + out blocks past the ~16 MB scoped-VMEM
+    # budget once the C=128 stacked weights are resident (observed: C=128,
+    # T=512 with t_tile=1024 overflows by 620K).
+    t_tile = min(t_tile, -(-T // 128) * 128)
     nT = -(-T // t_tile)
     T_pad = nT * t_tile
     # zero pad: PAD halo each side + tail up to the tile grid
@@ -343,7 +349,7 @@ def fused_mrf_stage_phase(
     weights: Tuple[jnp.ndarray, ...],
     kernel_sizes: Tuple[int, ...] = (3, 7, 11),
     dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3,
-    t_tile: int = 512,
+    t_tile: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Phase-packed fused MRF stage for narrow channels (C in {32, 64}).
@@ -354,7 +360,10 @@ def fused_mrf_stage_phase(
             replaces it).
         weights: ``mrf_weights_from_params`` output (packing happens here,
             traced — a handful of small einsums on the stacked weights).
-        t_tile: lane tile in PACKED samples (each = P true samples).
+        t_tile: lane tile in PACKED samples (each = P true samples);
+            None = auto (512 packed; ``pick_t_tile(C)`` on the P==1
+            fallback, where packed lanes equal true lanes and an explicit
+            value is forwarded unchanged).
 
     Returns:
         (B, T, C) f32, same semantics as the plain kernel / XLA path.
@@ -364,12 +373,14 @@ def fused_mrf_stage_phase(
     if P == 1:
         y = fused_mrf_stage(jnp.swapaxes(x, 1, 2), weights,
                             kernel_sizes=kernel_sizes, dilations=dilations,
-                            t_tile=pick_t_tile(C), interpret=interpret)
+                            t_tile=t_tile or pick_t_tile(C), interpret=interpret)
         return jnp.swapaxes(y, 1, 2)
+    T4 = -(-T // P)
+    # Same short-sequence clamp as fused_mrf_stage, in packed lanes.
+    t_tile = min(t_tile or 512, -(-T4 // 128) * 128)
     packed = pack_mrf_weights_phase(weights, kernel_sizes, dilations, P)
 
     PAD4 = _phase_pad(kernel_sizes, dilations, P)
-    T4 = -(-T // P)
     T_p = T4 * P
     nT = -(-T4 // t_tile)
     T4_pad = nT * t_tile

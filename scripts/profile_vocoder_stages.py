@@ -23,19 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from matcha_tpu.models.hifigan import Generator, HiFiGANConfig
-from matcha_tpu.models.hifigan_pallas import (
-    _conv1d,
-    _conv_transpose1d,
-    _conv_transpose1d_subpixel,
-    _leaky,
-    _xla_mrf_stage,
-)
-from matcha_tpu.ops.mrf_pallas import (
-    fused_mrf_stage,
-    fused_mrf_stage_phase,
-    mrf_weights_from_params,
-    pick_t_tile,
-)
+from matcha_tpu.models.hifigan_pallas import generator_apply_pallas
 
 
 from _timing import timeit  # noqa: E402  (shared queued-dispatch protocol)
@@ -45,46 +33,24 @@ def make_prefix(variables, h, n_stages, narrow_impl, upsample_impl, with_post,
                 skip_last_mrf=False, mrf_dtype=jnp.float32):
     """Generator forward truncated after ups+mrf stage n_stages-1 (or after
     just ups_{n_stages-1} when ``skip_last_mrf`` — separates upsample cost
-    from MRF cost in the row deltas)."""
-    p = variables["params"]
-    num_kernels = len(h.resblock_kernel_sizes)
+    from MRF cost in the row deltas).
+
+    Delegates to ``generator_apply_pallas`` itself (its n_stages/
+    skip_last_mrf/with_post hooks) so the prefix deltas time the exact
+    serving graph — the profiler explores a wider space than serving
+    defaults via max_pallas_channels: 'xla' disables the Pallas kernel
+    entirely (0), the Pallas impls raise the cap to 128 to expose the
+    C=128 placement experiment."""
+    max_pallas = 0 if narrow_impl == "xla" else 128
 
     def fn(mel):
-        x = _conv1d(mel, p["conv_pre"]["conv"]["kernel"], p["conv_pre"]["conv"]["bias"], padding=3)
-        for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
-            if i >= n_stages:
-                break
-            x = _leaky(x, 0.1)
-            up = p[f"ups_{i}"]
-            up_fn = (_conv_transpose1d_subpixel if upsample_impl == "subpixel"
-                     else _conv_transpose1d)
-            x = up_fn(x, up["kernel"], up["bias"], stride=u, padding=(k - u) // 2)
-            if skip_last_mrf and i == n_stages - 1:
-                break
-            blocks = [p[f"resblocks_{i * num_kernels + j}"] for j in range(num_kernels)]
-            C = x.shape[-1]
-            if C > 128 or narrow_impl == "xla":
-                x = _xla_mrf_stage(x, blocks, h)
-                continue
-            weights = mrf_weights_from_params(blocks, n_dil=len(h.resblock_dilation_sizes[0]))
-            weights = tuple(w.astype(jnp.float32) for w in weights)
-            if narrow_impl == "phase" and 128 // C >= 2:
-                x = fused_mrf_stage_phase(
-                    x.astype(jnp.float32), weights,
-                    kernel_sizes=tuple(h.resblock_kernel_sizes),
-                    dilations=tuple(tuple(d) for d in h.resblock_dilation_sizes))
-                continue
-            x_cf = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
-            x_cf = fused_mrf_stage(
-                x_cf, weights,
-                kernel_sizes=tuple(h.resblock_kernel_sizes),
-                dilations=tuple(tuple(d) for d in h.resblock_dilation_sizes),
-                t_tile=pick_t_tile(C), compute_dtype=mrf_dtype)
-            x = jnp.swapaxes(x_cf, 1, 2)
-        if with_post:
-            x = _leaky(x, 0.01)
-            x = _conv1d(x, p["conv_post"]["conv"]["kernel"], p["conv_post"]["conv"]["bias"], padding=3)
-            x = jnp.tanh(x)
+        x = generator_apply_pallas(
+            variables, h, mel,
+            compute_dtype=mrf_dtype, max_pallas_channels=max_pallas,
+            upsample_impl=upsample_impl,
+            narrow_impl=narrow_impl if narrow_impl != "xla" else "plain",
+            n_stages=n_stages, skip_last_mrf=skip_last_mrf,
+            with_post=with_post)
         # reduce to a tiny fetchable value so payload transfer never
         # pollutes the timing. MUST be a full reduction: a strided slice
         # here lets XLA fold the slice back through the conv chain

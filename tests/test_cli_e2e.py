@@ -581,3 +581,50 @@ def test_fused_corpus_stage_matches_split(fabricated_ckpts, monkeypatch):
             rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(float(b["first_sample"]),
                                    np.asarray(b["waveform"])[0, 0], rtol=0, atol=0)
+
+
+def test_voc_apply_routing_by_shape_and_dtype(monkeypatch):
+    """Pattern-rot guard for the hybrid-vocoder routing table
+    (TTSPipeline._voc_apply): f32 mel -> hybrid at every shape on TPU;
+    bf16 mel -> hybrid only at/above PALLAS_MIN_MEL_FRAMES_BF16 frames
+    (B=1 latency shapes deliberately stay on XLA convs — the measured
+    bf16<->f32 churn loss, see PERFORMANCE.md)."""
+    import types
+
+    import jax
+
+    import matcha_tpu.models.hifigan_pallas as hp
+    from matcha_tpu.cli import TTSPipeline
+
+    monkeypatch.setattr(hp, "generator_apply_pallas",
+                        lambda vp, h, mel: "hybrid")
+
+    fake_jax = types.SimpleNamespace(
+        default_backend=lambda: "tpu", numpy=jnp, lax=jax.lax)
+    pipe = TTSPipeline.__new__(TTSPipeline)
+    pipe.jax = fake_jax
+    pipe.vocoder_pallas = True
+    pipe.vocoder_chunk = 0
+    pipe.vocoder = types.SimpleNamespace(
+        config=None, apply=lambda vp, mel: "xla")
+
+    apply = pipe._voc_apply()
+
+    class Mel:
+        def __init__(self, b, t, dtype):
+            self.shape = (b, t, 80)
+            self.dtype = dtype
+
+    # f32: hybrid everywhere (PALLAS_MIN_MEL_FRAMES = 0)
+    assert apply(None, Mel(1, 384, jnp.float32)) == "hybrid"
+    assert apply(None, Mel(8, 1024, jnp.float32)) == "hybrid"
+    # bf16: XLA below the threshold, hybrid at/above it
+    assert apply(None, Mel(1, 384, jnp.bfloat16)) == "xla"
+    assert apply(None, Mel(2, 512, jnp.bfloat16)) == "xla"
+    assert apply(None, Mel(8, 1024, jnp.bfloat16)) == "hybrid"
+    # CPU backend or --no-pallas-vocoder: always the flax path
+    fake_jax.default_backend = lambda: "cpu"
+    assert pipe._voc_apply()(None, Mel(8, 1024, jnp.float32)) == "xla"
+    pipe.jax = jax  # real backend in tests is cpu
+    pipe.vocoder_pallas = False
+    assert pipe._voc_apply()(None, Mel(8, 1024, jnp.float32)) == "xla"
