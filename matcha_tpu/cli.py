@@ -95,6 +95,24 @@ def _unpack_pcm24(arr: np.ndarray):
     return wav, v[:, -1].astype(np.int32)
 
 
+def fetch_fused_host(out):
+    """Host-fetch a fused-graph result's (waveform, mel_lengths) in ONE
+    transfer, whichever wire format the graph shipped (``wav_pcm24`` /
+    ``wav_packed`` / plain f32+lengths). The auto-bucket path pre-fetches
+    into ``*_host`` keys during its saturation check; integer-bucket
+    callers use this so the device-side packing the fused graph already
+    paid for actually saves them the f32 payload + the second lengths
+    round trip."""
+    if "waveform_host" in out:
+        return out["waveform_host"], np.asarray(out["mel_lengths_host"])
+    if "wav_pcm24" in out:
+        return _unpack_pcm24(np.asarray(out["wav_pcm24"]))
+    if "wav_packed" in out:
+        packed = np.asarray(out["wav_packed"])
+        return packed[:, :-1], packed[:, -1].astype(np.int32)
+    return np.asarray(out["waveform"]), np.asarray(out["mel_lengths"])
+
+
 def process_text(i: int, text: str, cleaner: str = "english_cleaners2"):
     print(f"[{i}] - Input text: {text}")
     seq = intersperse(text_to_sequence(text, [cleaner]), 0)
@@ -539,6 +557,10 @@ class TTSPipeline:
                 out = fn(p, vp, x_pad, x_lengths, key,
                          spks_j, jnp.float32(self.denoiser_strength))
                 if not auto:
+                    # no host sync here: serve's fused fast path dispatches
+                    # with an integer bucket and fetches LATER (pipelined,
+                    # on another thread) via the packed keys. Local callers
+                    # that do want the result use fetch_fused_host(out).
                     return out
                 # ONE host sync for the saturation check AND the caller's
                 # data: the fused graph packed mel_lengths into the wav
@@ -855,8 +877,9 @@ def long_form_synthesis(args, pipeline: TTSPipeline, text: str, spk):
             length_scale=args.speaking_rate, spks=spk,
             fixed_y_bucket=args.fixed_y_bucket,
         )
-        ml = int(out["mel_lengths"][0])
-        wavs.append(np.asarray(out["waveform"][0])[: ml * 256])
+        wavs_h, mls_h = fetch_fused_host(out)
+        ml = int(mls_h[0])
+        wavs.append(np.asarray(wavs_h[0])[: ml * 256])
         mels.append(np.asarray(out["mel"][0])[:, :ml])
     wav = np.concatenate(wavs)
     mel = np.concatenate(mels, axis=1)
@@ -886,9 +909,10 @@ def unbatched_synthesis(args, pipeline: TTSPipeline, texts, spk):
             length_scale=args.speaking_rate, spks=spk,
             fixed_y_bucket=args.fixed_y_bucket,
         )
-        # auto mode pre-fetched host copies in its (single) sync
-        ml = int(np.asarray(out.get("mel_lengths_host", out["mel_lengths"]))[0])
-        wav = np.asarray(out.get("waveform_host", out["waveform"])[0])[: ml * 256]
+        # ONE packed fetch (auto mode pre-fetched host copies in its sync)
+        wavs_h, mls_h = fetch_fused_host(out)
+        ml = int(mls_h[0])
+        wav = np.asarray(wavs_h[0])[: ml * 256]
         t = (dt.datetime.now() - start_t).total_seconds()
         rtf = _rtf(t, ml * 256)
         rtf_w = _rtf(t, wav.shape[-1])
@@ -961,9 +985,10 @@ def batched_synthesis(args, pipeline: TTSPipeline, texts, spk):
             temperature=args.temperature, length_scale=args.speaking_rate, spks=spks,
             fixed_y_bucket=args.fixed_y_bucket,
         )
-        wavs = np.asarray(out["waveform"])
+        wavs, mls_h = fetch_fused_host(out)
+        wavs = np.asarray(wavs)
         t = (dt.datetime.now() - start_t).total_seconds()
-        n_samples = int(np.sum(np.asarray(out["mel_lengths"]))) * 256
+        n_samples = int(np.sum(mls_h)) * 256
         rtf_w = _rtf(t, n_samples)
         print(f"[🍵-Batch: {bi+1}] Matcha-TTS + VOCODER RTF: {rtf_w:.4f}")
         total_rtf.append(rtf_w)
@@ -972,7 +997,7 @@ def batched_synthesis(args, pipeline: TTSPipeline, texts, spk):
             base_name = (
                 f"utterance_{idx:03d}_speaker_{args.spk:03d}" if args.spk is not None else f"utterance_{idx:03d}"
             )
-            length = int(out["mel_lengths"][row])
+            length = int(mls_h[row])
             new_dict = {"mel": np.asarray(out["mel"][row])[:, :length], "waveform": wavs[row][: length * 256]}
             location = save_to_folder(base_name, new_dict, args.output_folder)
             print(f"[🍵-{idx}] Waveform saved: {location}")

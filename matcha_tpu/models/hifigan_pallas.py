@@ -73,8 +73,12 @@ def _leaky(x, slope):
 
 def _xla_mrf_stage(x, blocks, h):
     """Flax-equivalent MRF stage via plain lax convs (fallback for wide
-    stages whose weights exceed the Pallas VMEM budget)."""
+    stages whose weights exceed the Pallas VMEM budget). Kernels follow
+    x's dtype like the other helpers here, so mixed f32-params/bf16-mel
+    callers of generator_apply_pallas don't trip lax's same-dtype check
+    (the CLI casts params and mel together; direct callers may not)."""
     num_kernels = len(h.resblock_kernel_sizes)
+    dt = x.dtype
     xs = None
     for j, (k, dils) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
         p = blocks[j]
@@ -83,15 +87,15 @@ def _xla_mrf_stage(x, blocks, h):
             xt = _leaky(xb, 0.1)
             pad = (k * d - d) // 2
             xt = jax.lax.conv_general_dilated(
-                xt, p[f"convs1_{i}"]["conv"]["kernel"], (1,), [(pad, pad)],
+                xt, p[f"convs1_{i}"]["conv"]["kernel"].astype(dt), (1,), [(pad, pad)],
                 rhs_dilation=(d,), dimension_numbers=("NHC", "HIO", "NHC"),
-            ) + p[f"convs1_{i}"]["conv"]["bias"]
+            ) + p[f"convs1_{i}"]["conv"]["bias"].astype(dt)
             xt = _leaky(xt, 0.1)
             pad = (k - 1) // 2
             xt = jax.lax.conv_general_dilated(
-                xt, p[f"convs2_{i}"]["conv"]["kernel"], (1,), [(pad, pad)],
+                xt, p[f"convs2_{i}"]["conv"]["kernel"].astype(dt), (1,), [(pad, pad)],
                 dimension_numbers=("NHC", "HIO", "NHC"),
-            ) + p[f"convs2_{i}"]["conv"]["bias"]
+            ) + p[f"convs2_{i}"]["conv"]["bias"].astype(dt)
             xb = xt + xb
         xs = xb if xs is None else xs + xb
     return xs / num_kernels

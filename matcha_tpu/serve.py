@@ -400,12 +400,18 @@ class BatchingServer:
             T_y = self._pick_fused_bucket(T_x, rate, spk is not None,
                                           len(r.seq))
             if T_y:
-                self._n_calls += 1
+                # lock pairs with _complete's saturation fallback: in
+                # pipelined mode that runs on the responder thread, and a
+                # lost _n_calls increment would reuse a PRNG fold
+                # (identical CFM noise for two different requests)
+                with self._lock:
+                    self._n_calls += 1
+                    n_call = self._n_calls
                 x1 = np.zeros((1, T_x), np.int32)
                 x1[0, : len(r.seq)] = r.seq
                 out = self.pipeline.synthesise_batch(
                     x1, np.asarray([len(r.seq)], np.int32),
-                    self.jax.random.fold_in(self._key, self._n_calls),
+                    self.jax.random.fold_in(self._key, n_call),
                     n_timesteps=self.n_timesteps, temperature=self.temperature,
                     length_scale=rate, fixed_y_bucket=T_y,
                     spks=None if spk is None else np.full((1,), int(spk), np.int32),
@@ -434,9 +440,11 @@ class BatchingServer:
             x[i, : len(r.seq)] = r.seq
             xl[i] = len(r.seq)
         spks = None if spk is None else np.full((B,), int(spk), np.int32)
-        self._n_calls += 1
+        with self._lock:  # see the fused-path note on _n_calls
+            self._n_calls += 1
+            n_call = self._n_calls
         out = self.pipeline.synthesise_batch(
-            x, xl, self.jax.random.fold_in(self._key, self._n_calls),
+            x, xl, self.jax.random.fold_in(self._key, n_call),
             n_timesteps=self.n_timesteps, temperature=self.temperature,
             length_scale=rate, spks=spks,
             # wire-format result: device-quantized 24-bit PCM + lengths in
@@ -500,12 +508,22 @@ class BatchingServer:
             if T_y is not None and int(mel_lengths[0]) >= T_y:
                 # fused fast path saturated (the warmed bucket was too
                 # small for this utterance): re-run through the dynamic
-                # path, inline (rare; correctness over latency here)
+                # path, inline (rare; correctness over latency here).
+                # Pad the text to a WARMED x-bucket like _run does —
+                # r.seq's raw length would let pick_bucket choose an
+                # x-bucket warmup never compiled, stalling all queued
+                # traffic for a tunnel-compile (the no-compile-after-
+                # warmup invariant).
                 r = reqs[0]
-                self._n_calls += 1
+                T_x = self._route_x(len(r.seq))
+                x1 = np.zeros((1, T_x), np.int32)
+                x1[0, : len(r.seq)] = r.seq
+                with self._lock:
+                    self._n_calls += 1
+                    n_call = self._n_calls
                 out2 = self.pipeline.synthesise_batch(
-                    r.seq[None], np.asarray([len(r.seq)], np.int32),
-                    self.jax.random.fold_in(self._key, self._n_calls),
+                    x1, np.asarray([len(r.seq)], np.int32),
+                    self.jax.random.fold_in(self._key, n_call),
                     n_timesteps=self.n_timesteps, temperature=self.temperature,
                     length_scale=r.speaking_rate,
                     spks=(None if r.spk is None
@@ -533,14 +551,9 @@ class BatchingServer:
     def _fetch(self, out):
         """Host-fetch a dispatch's (waveforms, mel_lengths) — whichever
         wire format the graph shipped."""
-        if "wav_pcm24" in out:
-            from matcha_tpu.cli import _unpack_pcm24
+        from matcha_tpu.cli import fetch_fused_host
 
-            return _unpack_pcm24(np.asarray(out["wav_pcm24"]))
-        if "wav_packed" in out:  # fused graph, pcm24_transfer=False
-            packed = np.asarray(out["wav_packed"])
-            return packed[:, :-1], packed[:, -1].astype(np.int32)
-        return np.asarray(out["waveform"]), np.asarray(out["mel_lengths"])
+        return fetch_fused_host(out)
 
     def _respond_loop(self):
         """Fetch completed batches and wake their clients — runs parallel

@@ -27,3 +27,28 @@ def timeit(fn, inputs, n):
     dt = (time.perf_counter() - t0) / n
     jax.block_until_ready(res)
     return dt
+
+
+def timeit_dispatch(dispatch, fetch, n):
+    """Dispatch/fetch-style variant (scripts/mfu.py, bench_decode_b8.py):
+    queue n varied dispatches, force completion with one data fetch. The
+    first n-loop is the warmup; only the second is timed.
+
+    Inputs must be PREPARED (device-resident) before entry: anything like
+    fold_in/asarray inside ``dispatch`` adds host->device dispatches to
+    the timed loop and inflates per-step time ~2x through the tunnel.
+    """
+    outs = [dispatch(i) for i in range(n)]
+    fetch(outs[-1])
+    t0 = time.perf_counter()
+    outs = [dispatch(n + i) for i in range(n)]
+    fetch(outs[-1])
+    return (time.perf_counter() - t0) / n
+
+
+def cost_of(lowered_compiled):
+    """(flops, bytes accessed) from XLA's cost analysis of a compiled fn."""
+    ca = lowered_compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))

@@ -21,27 +21,13 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def timeit(dispatch, fetch, n):
-    outs = [dispatch(i) for i in range(n)]
-    fetch(outs[-1])
-    t0 = time.perf_counter()
-    outs = [dispatch(n + i) for i in range(n)]
-    fetch(outs[-1])
-    return (time.perf_counter() - t0) / n
-
-
-def cost_of(compiled):
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+from _timing import cost_of, timeit_dispatch as timeit  # noqa: E402
 
 
 def main():

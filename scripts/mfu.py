@@ -24,7 +24,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -37,28 +36,9 @@ PEAK_BYTES = 819e9
 BALANCE = PEAK_FLOPS / PEAK_BYTES  # ~240 flops/byte
 
 
-def cost_of(lowered_compiled):
-    ca = lowered_compiled.cost_analysis()
-    if isinstance(ca, list):  # older jax returns [dict]
-        ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
-    byts = float(ca.get("bytes accessed", 0.0))
-    return flops, byts
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def timeit(dispatch, fetch, n):
-    """Queue n varied dispatches, force completion with one data fetch.
-
-    Inputs must be PREPARED (device-resident) before entry: anything like
-    fold_in/asarray inside `dispatch` adds host->device dispatches to the
-    timed loop and inflates per-step time ~2x through the tunnel.
-    """
-    outs = [dispatch(i) for i in range(n)]
-    fetch(outs[-1])
-    t0 = time.perf_counter()
-    outs = [dispatch(n + i) for i in range(n)]
-    fetch(outs[-1])
-    return (time.perf_counter() - t0) / n
+from _timing import cost_of, timeit_dispatch as timeit  # noqa: E402
 
 
 def row(name, flops, byts, secs):
