@@ -75,15 +75,26 @@ def build_pipeline():
     from matcha_tpu.models.matcha import MatchaTTS
 
     model = MatchaTTS()  # flagship LJSpeech-scale config
-    params = model.init(
-        {"params": jax.random.PRNGKey(1)},
-        jnp.zeros((1, 32), jnp.int32), jnp.full((1,), 32, jnp.int32),
-        jax.random.PRNGKey(0), n_timesteps=1, y_max_length=64,
-        method=MatchaTTS.synthesise,
-    )
-    vocoder = Generator(HiFiGANConfig())
-    voc_params = vocoder.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 80)))
+    # Init on the host CPU backend, then one bulk device_put: initializer
+    # kernels (dozens of truncated_normal shapes) are minutes of
+    # remote-compile through the tunnel on a cold cache, and their values
+    # don't matter to the measurement (random weights either way).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            {"params": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32), jnp.int32), jnp.full((1,), 32, jnp.int32),
+            jax.random.PRNGKey(0), n_timesteps=1, y_max_length=64,
+            method=MatchaTTS.synthesise,
+        )
+        vocoder = Generator(HiFiGANConfig())
+        voc_params = vocoder.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 80)))
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    voc_params = jax.device_put(voc_params, dev)
+    print("# params initialized (CPU) + transferred", flush=True)
     bias = compute_bias_spec(lambda mel: vocoder.apply(voc_params, mel))
+    print("# denoiser bias spec ready", flush=True)
     return TTSPipeline(model, params, vocoder, voc_params, bias)
 
 
@@ -252,11 +263,15 @@ def main() -> None:
 
     # Warmup sweep: compiles every (x-bucket, y-bucket) pair the corpus
     # hits, exactly as a warmed-up serving process would hold them.
+    print("# warmup sweep (compiles land here; cold cache = minutes/bucket "
+          "through the remote-compile tunnel)", flush=True)
     run_batched(pipeline, utts, key, timed=False)
 
+    print("# timed corpus sweep", flush=True)
     audio_seconds, wall = run_batched(pipeline, utts, jax.random.fold_in(key, 1), timed=True)
     throughput = audio_seconds / wall
 
+    print("# latency probes", flush=True)
     lat = run_latency(pipeline, key)
 
     print(json.dumps({
