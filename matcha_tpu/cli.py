@@ -95,6 +95,65 @@ def _unpack_pcm24(arr: np.ndarray):
     return wav, v[:, -1].astype(np.int32)
 
 
+def _pcm24_lengths(arr: np.ndarray) -> np.ndarray:
+    """mel_lengths from packed PCM24 rows WITHOUT decoding the audio: only
+    the trailing 3-byte sample per row is touched (lengths are positive
+    < 2^23, no sign handling needed). The remaining bytes per row are the
+    literal ``pcm24_bytes`` WAV frames — for byte-delivery consumers
+    (serving wire, WAV writing) the f32 unpack is pure overhead (~1.6 ms
+    per call on the 1-core host, measured in the latency budget)."""
+    t = arr[:, -3:].astype(np.int32)
+    return t[:, 0] | (t[:, 1] << 8) | (t[:, 2] << 16)
+
+
+#: target bytes per device->host transfer stream. The tunnel's fetch cost
+#: is flat (~1 RTT) up to ~128 KB, then ~30 ms/MB; concurrent fetches of
+#: sub-128 KB chunks genuinely overlap (measured: one 288 KB fetch p50/p90
+#: 36.9/48.2 ms vs 4x72 KB parallel 31.6/33.6 ms, same hour). Splitting the
+#: packed payload into <=~72 KB parts keeps every stream in the flat region.
+_FETCH_PART_BYTES = 72 * 1024
+#: per-stream request overhead bounds useful parallelism
+_FETCH_MAX_PARTS = 8
+
+_fetch_pool = None
+
+
+def _get_fetch_pool():
+    global _fetch_pool
+    if _fetch_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _fetch_pool = ThreadPoolExecutor(max_workers=2 * _FETCH_MAX_PARTS,
+                                         thread_name_prefix="matcha-fetch")
+    return _fetch_pool
+
+
+def _n_fetch_parts(total_bytes: int) -> int:
+    return max(1, min(_FETCH_MAX_PARTS,
+                      -(-int(total_bytes) // _FETCH_PART_BYTES)))
+
+
+def _split_parts(packed, n_parts: int):
+    """Split a (B, n_bytes) device array into ``n_parts`` byte-axis chunks
+    (static trace-time slices; concatenating the host copies restores the
+    exact packed rows)."""
+    n = packed.shape[-1]
+    step = -(-n // n_parts)
+    return tuple(packed[:, i * step: min((i + 1) * step, n)]
+                 for i in range(n_parts))
+
+
+def _fetch_parts_host(parts) -> np.ndarray:
+    """Concurrently device->host copy each chunk and reassemble the packed
+    rows. Each stream's request waits server-side until the data is ready,
+    so the per-stream RTTs overlap each other (and the tail of device
+    compute) instead of queueing behind one big transfer."""
+    if len(parts) == 1:
+        return np.asarray(parts[0])
+    futs = [_get_fetch_pool().submit(np.asarray, p) for p in parts]
+    return np.concatenate([f.result() for f in futs], axis=1)
+
+
 def fetch_fused_host(out):
     """Host-fetch a fused-graph result's (waveform, mel_lengths) in ONE
     transfer, whichever wire format the graph shipped (``wav_pcm24`` /
@@ -105,6 +164,10 @@ def fetch_fused_host(out):
     round trip."""
     if "waveform_host" in out:
         return out["waveform_host"], np.asarray(out["mel_lengths_host"])
+    if "pcm24_bytes_host" in out:  # raw_pcm24 delivery, already fetched
+        return _unpack_pcm24(out["pcm24_bytes_host"])
+    if "wav_pcm24_parts" in out:
+        return _unpack_pcm24(_fetch_parts_host(out["wav_pcm24_parts"]))
     if "wav_pcm24" in out:
         return _unpack_pcm24(np.asarray(out["wav_pcm24"]))
     if "wav_packed" in out:
@@ -435,19 +498,29 @@ class TTSPipeline:
             vocode = self._vocode_tail()
 
             def packed(voc_params, mel_btc, strength, mel_lengths):
-                return _pack_pcm24(jnp, vocode(voc_params, mel_btc, strength),
-                                   mel_lengths)
+                p = _pack_pcm24(jnp, vocode(voc_params, mel_btc, strength),
+                                mel_lengths)
+                k = _n_fetch_parts(p.size)
+                return _split_parts(p, k) if k > 1 else p
 
             self._vocode_cache["packed"] = self.jax.jit(packed)
         return self._vocode_cache["packed"]
 
     def _fused_fn(self, T_x: int, T_y: int, n_timesteps: int, temperature: float,
-                  length_scale: float, has_spks: bool):
+                  length_scale: float, has_spks: bool, with_fold: bool = False):
         """ONE jitted graph: encoder -> duration expand -> CFM scan ->
         HiFi-GAN -> denoiser. No host sync, one dispatch per batch — the
         serving form of the exported deployment graph (deploy/export.py).
-        Requires a fixed mel bucket ``T_y`` (CLI ``--fixed-y-bucket``)."""
-        cache_key = (T_x, T_y, n_timesteps, temperature, length_scale, has_spks)
+        Requires a fixed mel bucket ``T_y`` (CLI ``--fixed-y-bucket``).
+
+        The denoiser strength is a trace constant (per-pipeline fixed; the
+        eager ``jnp.float32(strength)`` materialization was a per-call
+        tunnel dispatch). ``with_fold``: the graph takes a base key + an
+        int32 call index and derives the per-call key INSIDE the jit
+        (``fold_in`` is otherwise 1-2 eager device ops per call on the
+        latency path — bench/serve pass a counter instead)."""
+        cache_key = (T_x, T_y, n_timesteps, temperature, length_scale,
+                     has_spks, with_fold, float(self.denoiser_strength))
         if cache_key not in self._fused_cache:
             jnp = self.jax.numpy
             from matcha_tpu.models.matcha import MatchaTTS
@@ -455,8 +528,11 @@ class TTSPipeline:
             lat = self.bf16_latency
             vocode = (None if self.vocoder is None
                       else self._vocode_tail(bf16=True if lat else None))
+            strength = jnp.float32(self.denoiser_strength)
 
-            def fused(params, voc_params, x, x_lengths, key, spks, strength):
+            def fused(params, voc_params, x, x_lengths, key, fold, spks):
+                if with_fold:
+                    key = self.jax.random.fold_in(key, fold)
                 out = self.model.apply(
                     params, x, x_lengths, key,
                     n_timesteps=n_timesteps, temperature=temperature,
@@ -476,9 +552,16 @@ class TTSPipeline:
                         # DEVICE (the exact encoding write_wav/serve emit,
                         # utils.pcm24_bytes) and ship 3 bytes/sample instead
                         # of 4 — measured tunnel fetch beyond ~128 KB costs
-                        # ~30 ms/MB, so the f32 payload was the p90 tail
-                        out["wav_pcm24"] = _pack_pcm24(
+                        # ~30 ms/MB, so the f32 payload was the p90 tail.
+                        # Payloads beyond one flat-region transfer split
+                        # into parallel fetch streams (_fetch_parts_host).
+                        packed = _pack_pcm24(
                             jnp, out["waveform"], out["mel_lengths"])
+                        k = _n_fetch_parts(packed.size)
+                        if k > 1:
+                            out["wav_pcm24_parts"] = _split_parts(packed, k)
+                        else:
+                            out["wav_pcm24"] = packed
                     else:
                         out["wav_packed"] = jnp.concatenate(
                             [out["waveform"],
@@ -515,7 +598,8 @@ class TTSPipeline:
     def synthesise_batch(self, x: np.ndarray, x_lengths: np.ndarray, key,
                          n_timesteps: int = 10, temperature: float = 0.667,
                          length_scale: float = 1.0, spks=None,
-                         fixed_y_bucket=0, pack_wav: bool = False):
+                         fixed_y_bucket=0, pack_wav: bool = False,
+                         key_fold=None, raw_pcm24: bool = False):
         """Returns the reference synthesise dict + 'waveform' (if vocoder).
 
         ``pack_wav`` (dynamic path, vocoder present): ship the result as
@@ -530,6 +614,16 @@ class TTSPipeline:
         carries ``mel_lengths_host``, already fetched for the check, so
         callers pay no extra transfer). Otherwise it is encode -> host
         bucket pick -> decode -> vocode with per-bucket jit caches.
+
+        ``key_fold`` (fused path): derive the per-call key as
+        ``fold_in(key, key_fold)`` INSIDE the fused graph — an eager
+        fold_in costs 1-2 device dispatches per call on the latency path.
+
+        ``raw_pcm24`` (fused auto path, pcm24 wire): deliver the packed
+        24-bit PCM rows (``out["pcm24_bytes_host"]``, trailing length
+        sample included) instead of converting to f32 — the bytes are the
+        exact frames ``write_wav``/serving emit, so byte consumers skip
+        the ~1.6 ms host unpack.
         """
         import jax.numpy as jnp
 
@@ -551,11 +645,12 @@ class TTSPipeline:
             vp = (self._latency_voc_params()
                   if lat and self.vocoder_params is not None
                   else self.vocoder_params)
+            fold = np.int32(0 if key_fold is None else key_fold)
             while True:
                 fn = self._fused_fn(T_x, T_y, n_timesteps, temperature,
-                                    length_scale, spks_j is not None)
-                out = fn(p, vp, x_pad, x_lengths, key,
-                         spks_j, jnp.float32(self.denoiser_strength))
+                                    length_scale, spks_j is not None,
+                                    with_fold=key_fold is not None)
+                out = fn(p, vp, x_pad, x_lengths, key, fold, spks_j)
                 if not auto:
                     # no host sync here: serve's fused fast path dispatches
                     # with an integer bucket and fetches LATER (pipelined,
@@ -566,9 +661,15 @@ class TTSPipeline:
                 # data: the fused graph packed mel_lengths into the wav
                 # rows, so a single transfer carries both (a separate
                 # mel_lengths fetch costs a full ~27 ms tunnel round trip).
-                if "wav_pcm24" in out:
-                    out["waveform_host"], ml = _unpack_pcm24(
-                        np.asarray(out["wav_pcm24"]))
+                if "wav_pcm24_parts" in out or "wav_pcm24" in out:
+                    packed = (_fetch_parts_host(out["wav_pcm24_parts"])
+                              if "wav_pcm24_parts" in out
+                              else np.asarray(out["wav_pcm24"]))
+                    if raw_pcm24:
+                        out["pcm24_bytes_host"] = packed
+                        ml = _pcm24_lengths(packed)
+                    else:
+                        out["waveform_host"], ml = _unpack_pcm24(packed)
                 elif "wav_packed" in out:
                     packed = np.asarray(out["wav_packed"])
                     ml = packed[:, -1].astype(np.int32)  # exact for <2**24
@@ -602,9 +703,11 @@ class TTSPipeline:
             T_voc = min(T_y, pick_bucket(min(max_y, T_y), VOC_BUCKETS))
             mel_btc = jnp.swapaxes(out["mel"], 1, 2)[:, :T_voc]  # (B, T_voc, 80)
             if pack_wav:
-                out["wav_pcm24"] = self._vocode_packed_fn()(
+                pk = self._vocode_packed_fn()(
                     self.vocoder_params, mel_btc,
                     jnp.float32(self.denoiser_strength), out["mel_lengths"])
+                out["wav_pcm24_parts" if isinstance(pk, tuple)
+                    else "wav_pcm24"] = pk
             else:
                 out["waveform"] = self._vocode_fn()(
                     self.vocoder_params, mel_btc, jnp.float32(self.denoiser_strength)

@@ -497,15 +497,71 @@ def test_pcm24_transfer_matches_f32_path(fabricated_ckpts, monkeypatch):
 
     of = pf32.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)
     op = p24.synthesise_batch(tp["x"], tp["x_lengths"], key, **kw)
-    assert "wav_pcm24" in op and op["wav_pcm24"].dtype == jnp.uint8
+    # payloads beyond one flat-region tunnel transfer ship as parallel
+    # fetch-stream parts; reassembled they ARE the packed rows
+    if "wav_pcm24_parts" in op:
+        parts = op["wav_pcm24_parts"]
+        assert all(p.dtype == jnp.uint8 for p in parts)
+        packed = np.concatenate([np.asarray(p) for p in parts], axis=1)
+    else:
+        assert op["wav_pcm24"].dtype == jnp.uint8
+        packed = np.asarray(op["wav_pcm24"])
     np.testing.assert_array_equal(np.asarray(of["mel_lengths_host"]),
                                   np.asarray(op["mel_lengths_host"]))
     wf, wp = of["waveform_host"], op["waveform_host"]
     assert wp.dtype == np.float32
     assert np.abs(np.clip(wf, -1, 1) - wp).max() <= 2.0 / (2**23 - 1)
     # bytes are exactly the host encoder's output for the same waveform
-    raw = np.asarray(op["wav_pcm24"])[0, :-3].tobytes()
+    raw = packed[0, :-3].tobytes()
     assert raw == pcm24_bytes(np.asarray(op["waveform"][0]))
+
+
+def test_key_fold_in_graph_and_raw_pcm24_delivery(fabricated_ckpts, monkeypatch):
+    """Latency-path trims (round 4): ``key_fold`` derives the per-call key
+    inside the fused jit — bit-identical to the eager
+    ``jax.random.fold_in(key, i)`` it replaces — and ``raw_pcm24``
+    delivers the packed PCM24 rows (the exact write_wav/serve frames)
+    without the host f32 unpack."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import (
+        TTSPipeline,
+        _unpack_pcm24,
+        fetch_fused_host,
+        load_matcha,
+        load_vocoder,
+        process_text,
+    )
+
+    ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    voc_ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "hifigan_T2_v1")
+    model, params = load_matcha("matcha_ljspeech", ckpt)
+    vocoder, voc_params, _ = load_vocoder("hifigan_T2_v1", voc_ckpt)
+    pipe = TTSPipeline(model, params, vocoder, voc_params, None,
+                       "english_cleaners_no_espeak", vocoder_pallas=False)
+    pipe._dur_ratio = 4.0  # skip the uncalibrated largest-bucket compile
+
+    tp = process_text(0, "fold in graph check", "english_cleaners_no_espeak")
+    key = jax.random.PRNGKey(3)
+    kw = dict(n_timesteps=1, length_scale=1.0, fixed_y_bucket="auto")
+
+    o_eager = pipe.synthesise_batch(tp["x"], tp["x_lengths"],
+                                    jax.random.fold_in(key, 7), **kw)
+    o_fold = pipe.synthesise_batch(tp["x"], tp["x_lengths"], key,
+                                   key_fold=7, raw_pcm24=True, **kw)
+    assert "waveform_host" not in o_fold
+    packed = o_fold["pcm24_bytes_host"]
+    assert packed.dtype == np.uint8
+    wav, ml = _unpack_pcm24(packed)
+    np.testing.assert_array_equal(ml, np.asarray(o_fold["mel_lengths_host"]))
+    np.testing.assert_array_equal(ml, np.asarray(o_eager["mel_lengths_host"]))
+    # same folded key -> identical noise -> identical delivered bytes
+    np.testing.assert_array_equal(wav, o_eager["waveform_host"])
+    # fetch_fused_host understands the raw delivery (no second transfer)
+    w2, ml2 = fetch_fused_host(o_fold)
+    np.testing.assert_array_equal(w2, wav)
+    np.testing.assert_array_equal(ml2, ml)
 
 
 @pytest.mark.slow
@@ -534,8 +590,10 @@ def test_pcm24_pack_wav_dynamic_path(fabricated_ckpts, monkeypatch):
     od = pf32.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1)
     ok = p24.synthesise_batch(tp["x"], tp["x_lengths"], key, n_timesteps=1,
                               pack_wav=True)
-    assert "waveform" not in ok and ok["wav_pcm24"].dtype == jnp.uint8
-    wav_k, ml_k = _unpack_pcm24(np.asarray(ok["wav_pcm24"]))
+    assert "waveform" not in ok
+    from matcha_tpu.cli import fetch_fused_host
+
+    wav_k, ml_k = fetch_fused_host(ok)
     np.testing.assert_array_equal(np.asarray(od["mel_lengths"]), ml_k)
     assert np.abs(np.clip(np.asarray(od["waveform"]), -1, 1)
                   - wav_k).max() <= 2.0 / (2**23 - 1)
