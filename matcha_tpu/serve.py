@@ -34,6 +34,7 @@ import queue
 import threading
 import time
 import wave
+from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -92,6 +93,10 @@ class _Request:
     #: request (a stream's first chunk): dispatch it alone, immediately,
     #: when the device is idle instead of waiting out the batch window
     urgent: bool = False
+    #: long-form/stream chunk (bulk class): fills only the batch slots
+    #: interactive requests leave free, so a single streaming client's
+    #: burst of chunks cannot queue ahead of interactive traffic
+    bulk: bool = False
 
 
 class BatchingServer:
@@ -133,6 +138,10 @@ class BatchingServer:
         self._key = jax.random.PRNGKey(seed)
         self._n_calls = 0
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # bulk-class (long-form chunk) requests displaced by interactive
+        # traffic carry over here, FIFO; touched only by the batcher thread
+        # (len() reads from other threads are safe)
+        self._bulk_backlog: "deque[_Request]" = deque()
         self._stop = threading.Event()
         # guards the request/batch counters and the timeout-vs-dispatch
         # race on _Request.error (see _loop / submit)
@@ -190,7 +199,8 @@ class BatchingServer:
 
     # -- client side -------------------------------------------------------
     def _enqueue(self, text: str, speaking_rate: float | None,
-                 spk: int | None, urgent: bool = False) -> _Request:
+                 spk: int | None, urgent: bool = False,
+                 bulk: bool = False) -> _Request:
         """Phonemize and queue without waiting (streaming building block)."""
         from matcha_tpu.text import text_to_sequence
         from matcha_tpu.utils.utils import intersperse
@@ -207,6 +217,7 @@ class BatchingServer:
                            else self._quantize_rate(speaking_rate)),
             spk=self.default_spk if spk is None else int(spk),
             urgent=urgent,
+            bulk=bulk,
         )
         with self._lock:
             self.n_requests += 1
@@ -269,9 +280,11 @@ class BatchingServer:
         # fast path (time-to-first-audio = one dispatch) while the sibling
         # chunks merge into the next batch. Under load the queue is
         # non-empty here, urgency stays off, and merging wins.
-        idle = self._q.empty() and not self._busy and self._in_flight == 0
+        idle = (self._q.empty() and not self._busy and self._in_flight == 0
+                and not self._bulk_backlog)
         reqs = [self._enqueue(c, speaking_rate, spk,
-                              urgent=(i == 0 and idle and len(chunks) > 1))
+                              urgent=(i == 0 and idle and len(chunks) > 1),
+                              bulk=True)
                 for i, c in enumerate(chunks)]
         for r in reqs:
             if not r.done.wait(timeout_s):
@@ -316,26 +329,50 @@ class BatchingServer:
         (premature dispatch fragments merges and tanks occupancy under
         closed-loop load). The ``batch_window_ms`` clock only runs while
         the device is idle; it restarts when the device frees so clients
-        woken by the previous batch's results can join this one."""
-        first = self._q.get()
-        if first is None:
-            return []
-        if first.urgent:
-            # a stream's first chunk enqueued on an idle server (decided
-            # at enqueue time — its SIBLING chunks are queued behind it by
-            # now): skip the batch window and dispatch it solo on the
-            # fused fast path; time-to-first-audio is one dispatch away
-            # while the siblings merge into the next batch.
-            return [first]
-        batch = [first]
+        woken by the previous batch's results can join this one.
+
+        Two request classes (interactive over bulk): long-form/stream
+        chunks (``bulk=True``) arrive in bursts — an article enqueues all
+        its sentence chunks at once — and a FIFO would park them AHEAD of
+        interactive requests for several whole batches (measured p90
+        regression 290 → 420 ms under the round-3 mixed workload).
+        Interactive requests therefore take batch slots first; bulk
+        chunks fill only the residual slots, and the remainder carries
+        over in ``_bulk_backlog`` (FIFO within the class) to the next
+        batch. With no interactive traffic queued, bulk fills whole
+        batches — full throughput for lone streaming clients."""
+        interactive: list = []
+        bulk: list = list(self._bulk_backlog)
+        self._bulk_backlog.clear()
+        if not bulk:
+            first = self._q.get()
+            if first is None:
+                return []
+            if first.urgent:
+                # a stream's first chunk enqueued on an idle server
+                # (decided at enqueue time — its SIBLING chunks are queued
+                # behind it by now): skip the batch window and dispatch it
+                # solo on the fused fast path; time-to-first-audio is one
+                # dispatch away while the siblings merge into later
+                # batches.
+                return [first]
+            (bulk if first.bulk else interactive).append(first)
+        stop = False
         deadline = time.perf_counter() + self.batch_window_s
         busy_prev = self._in_flight > 0
-        while len(batch) < self.max_batch:
+        # Collection runs until INTERACTIVE slots fill (not total slots):
+        # excess bulk drains into the backlog instead of blocking the scan,
+        # so an interactive request queued behind a 20-chunk stream burst
+        # is found and seated this batch rather than 2-3 batches later.
+        while not stop and len(interactive) < self.max_batch:
             busy = self._in_flight > 0
             if busy_prev and not busy:
                 # device just freed: fresh window for the woken clients
                 deadline = time.perf_counter() + self.batch_window_s
             busy_prev = busy
+            if (len(interactive) + len(bulk) >= self.max_batch
+                    and not busy and self._q.empty()):
+                break  # a full batch is ready and nothing is left to reorder
             remaining = deadline - time.perf_counter()
             if not busy and remaining <= 0:
                 break
@@ -344,9 +381,14 @@ class BatchingServer:
             except queue.Empty:
                 continue
             if nxt is None:
-                break
-            batch.append(nxt)
-        return batch
+                stop = True
+            elif nxt.bulk and not nxt.urgent:
+                bulk.append(nxt)
+            else:
+                interactive.append(nxt)
+        residual = self.max_batch - len(interactive)
+        self._bulk_backlog.extend(bulk[residual:])
+        return interactive + bulk[:residual]
 
     def _loop(self):
         try:
@@ -411,7 +453,8 @@ class BatchingServer:
                 x1[0, : len(r.seq)] = r.seq
                 out = self.pipeline.synthesise_batch(
                     x1, np.asarray([len(r.seq)], np.int32),
-                    self.jax.random.fold_in(self._key, n_call),
+                    self._key, key_fold=n_call,  # folded in-graph: an eager
+                    # fold_in is 1-2 extra tunnel dispatches on this path
                     n_timesteps=self.n_timesteps, temperature=self.temperature,
                     length_scale=rate, fixed_y_bucket=T_y,
                     spks=None if spk is None else np.full((1,), int(spk), np.int32),
@@ -633,6 +676,7 @@ class BatchingServer:
                 for T_f in sorted({max(64, T_y // 2), T_y}):
                     self.pipeline.synthesise_batch(
                         x1, np.full((1,), T_x, np.int32), self.jax.random.PRNGKey(0),
+                        key_fold=0,  # warm the SAME with_fold graph _run uses
                         n_timesteps=self.n_timesteps, temperature=self.temperature,
                         length_scale=self.default_rate, fixed_y_bucket=T_f,
                         spks=(None if self.default_spk is None

@@ -318,17 +318,88 @@ def test_stream_first_chunk_urgent_marking():
     b._q = _queue.Queue()
     b._busy = False
     b._in_flight = 0
+    from collections import deque
+
+    b._bulk_backlog = deque()
 
     text = "One sentence here. Another one follows. And then a third."
     reqs = list(b.submit_stream(text, timeout_s=0.01, max_chars=30))
     assert len(reqs) >= 2
     assert reqs[0].urgent and not any(r.urgent for r in reqs[1:])
+    assert all(r.bulk for r in reqs)  # stream chunks are bulk-class
 
     while not b._q.empty():
         b._q.get()
     b._busy = True  # dispatching -> not idle -> no urgency
     reqs2 = list(b.submit_stream(text, timeout_s=0.01, max_chars=30))
     assert not any(r.urgent for r in reqs2)
+
+
+def _bare_batcher(max_batch=4, window_ms=50.0):
+    """BatchingServer shell with no threads/pipeline: _take_batch and
+    _enqueue are pure queue/scheduling logic."""
+    import queue as _queue
+    from collections import deque
+
+    from matcha_tpu.serve import BatchingServer
+
+    b = object.__new__(BatchingServer)
+    b.pipeline = type("P", (), {"cleaner": "english_cleaners_no_espeak"})()
+    b.default_rate = 1.0
+    b.default_spk = None
+    b.max_warm_x = None
+    b._lock = threading.Lock()
+    b.n_requests = 0
+    b._q = _queue.Queue()
+    b._bulk_backlog = deque()
+    b._busy = False
+    b._in_flight = 0
+    b.max_batch = max_batch
+    b.batch_window_s = window_ms / 1e3
+    return b
+
+
+def test_interactive_over_bulk_scheduling():
+    """VERDICT r3 item 4: a streaming client's chunk burst must not park
+    ahead of interactive requests. Interactive requests take batch slots
+    first; bulk chunks fill the residual slots and the remainder carries
+    over FIFO; with no interactive traffic, bulk fills whole batches."""
+    b = _bare_batcher(max_batch=4)
+    bulk = [b._enqueue(f"chunk {i}", None, None, bulk=True) for i in range(6)]
+    inter = [b._enqueue(f"question {i}", None, None) for i in range(2)]
+
+    batch = b._take_batch()
+    # both interactive seated THIS batch despite 6 bulk queued ahead
+    assert batch[:2] == inter
+    assert batch[2:] == bulk[:2] and len(batch) == 4
+    assert list(b._bulk_backlog) == bulk[2:]
+
+    # backlog drains in order, whole batches when no interactive waits
+    assert b._take_batch() == bulk[2:]
+    assert not b._bulk_backlog
+
+    # a late interactive request preempts carried-over backlog chunks
+    bulk2 = [b._enqueue(f"late chunk {i}", None, None, bulk=True)
+             for i in range(5)]
+    first = b._take_batch()
+    assert first == bulk2[:4] and list(b._bulk_backlog) == bulk2[4:]
+    i2 = b._enqueue("urgent question", None, None)
+    batch2 = b._take_batch()
+    assert batch2[0] is i2 and batch2[1:] == bulk2[4:]
+
+    # interactive saturation: a full interactive batch still dispatches
+    # intact (bulk waits; FIFO within its class)
+    tail = [b._enqueue(f"tail chunk {i}", None, None, bulk=True)
+            for i in range(2)]
+    inter3 = [b._enqueue(f"q{i}", None, None) for i in range(4)]
+    batch3 = b._take_batch()
+    assert batch3 == inter3
+    assert list(b._bulk_backlog) == tail
+
+    # shutdown sentinel still terminates collection
+    b._q.put(None)
+    b._bulk_backlog.clear()
+    assert b._take_batch() == []
 
 
 def test_parse_warmup():
