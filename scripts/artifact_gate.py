@@ -62,18 +62,32 @@ def try_download(url, dest, timeout=60):
 
 
 def run_gate(matcha_path, vocoder_path):
-    """Both artifacts present: converted-weights MCD vs the REAL reference."""
+    """Both artifacts present: run the FULL composed pipeline on both
+    stacks and measure parity at every boundary.
+
+    Reference leg (the ACTUAL torch modules, driven end to end exactly as
+    /root/reference/matcha/cli.py:358-394 does): process_text →
+    MatchaTTS.synthesise (with injected noise) → HiFi-GAN Generator
+    (weight norm removed) → Denoiser(strength=0.00025) → wav.
+    Our leg: the converted weights through matcha_tpu's fused vocode tail
+    (vocoder + clip + denoiser in one trace — the serving graph body).
+
+    Returns {"mel_mcd", "wav_mcd", "wav_max_dev"}: mel-domain MCD (the
+    BASELINE.json <= 0.1 release gate), wav-domain MCD (mel of the two
+    delivered waveforms — the single composed text→wav parity number), and
+    the max absolute waveform deviation."""
     import numpy as np
     import torch
 
     import jax
     import jax.numpy as jnp
 
-    from matcha_tpu.cli import load_matcha, process_text
+    from matcha_tpu.cli import load_matcha, load_vocoder, process_text
     from matcha_tpu.utils.metrics import mcd
     from tests.reference_loader import load_reference_models
 
     model, params = load_matcha("matcha_ljspeech", matcha_path)
+    vocoder, voc_params, bias = load_vocoder("hifigan_T2_v1", vocoder_path)
 
     # reference stack on the SAME checkpoint
     ref = load_reference_models()
@@ -122,9 +136,45 @@ def run_gate(matcha_path, vocoder_path):
                       n_timesteps=4, temperature=0.667, length_scale=0.95,
                       y_max_length=y_pad, method=OurMatcha.synthesise)
     n = int(out_ref["mel"].shape[-1])
-    value = mcd(np.asarray(out["mel"])[0, :, :n].T,
-                out_ref["mel"].numpy()[0].T)
-    return float(value)
+    mel_mcd = float(mcd(np.asarray(out["mel"])[0, :, :n].T,
+                        out_ref["mel"].numpy()[0].T))
+
+    # ---- compose the vocoder + denoiser legs (reference cli.py:117-122) --
+    import sys as _sys
+
+    if "/root/reference" not in _sys.path:
+        _sys.path.insert(0, "/root/reference")
+    from matcha.hifigan.config import v1  # reference modules
+    from matcha.hifigan.denoiser import Denoiser as RefDenoiser
+    from matcha.hifigan.env import AttrDict
+    from matcha.hifigan.models import Generator as RefGenerator
+
+    ref_voc = RefGenerator(AttrDict(v1))
+    ref_voc.load_state_dict(
+        torch.load(vocoder_path, map_location="cpu", weights_only=True)["generator"])
+    ref_voc.eval()
+    ref_voc.remove_weight_norm()
+    ref_den = RefDenoiser(ref_voc, mode="zeros")
+    with torch.no_grad():
+        ref_audio = ref_voc(out_ref["mel"]).clamp(-1, 1)
+        ref_wav = ref_den(ref_audio.squeeze(0), strength=0.00025).cpu().squeeze().numpy()
+
+    from matcha_tpu.cli import TTSPipeline
+
+    pipe = TTSPipeline(model, params, vocoder, voc_params, bias)
+    our_wav = np.asarray(pipe._vocode_tail()(
+        voc_params, jnp.swapaxes(out["mel"], 1, 2)[:, :n], jnp.float32(0.00025)))[0]
+
+    L = min(len(ref_wav), our_wav.shape[-1])
+    wav_max_dev = float(np.abs(ref_wav[:L] - our_wav[:L]).max())
+
+    # single composed text→wav parity number: MCD between the mels of the
+    # two DELIVERED waveforms (utils/metrics.py over audio.mel's numpy twin)
+    from matcha_tpu.audio.mel import mel_spectrogram_np
+
+    mel_of = lambda w: mel_spectrogram_np(w[None, :L].astype(np.float32))[0]
+    wav_mcd = float(mcd(mel_of(our_wav), mel_of(ref_wav)))
+    return {"mel_mcd": mel_mcd, "wav_mcd": wav_mcd, "wav_max_dev": wav_max_dev}
 
 
 def main():
@@ -147,13 +197,15 @@ def main():
             return 0
 
     try:
-        value = run_gate(targets["matcha"][1], targets["vocoder"][1])
+        res = run_gate(targets["matcha"][1], targets["vocoder"][1])
     except Exception as e:  # artifact present but gate crashed: that IS a failure
         record("error", f"gate crashed: {type(e).__name__}: {e}")
         return 1
-    ok = value <= MCD_GATE
-    record("passed" if ok else "failed", f"mel MCD vs reference = {value:.4f}",
-           mcd=value, gate=MCD_GATE)
+    ok = res["mel_mcd"] <= MCD_GATE and res["wav_mcd"] <= MCD_GATE
+    record("passed" if ok else "failed",
+           f"mel MCD vs reference = {res['mel_mcd']:.4f}, composed text->wav "
+           f"MCD = {res['wav_mcd']:.4f}, wav max dev = {res['wav_max_dev']:.2e}",
+           gate=MCD_GATE, **res)
     return 0 if ok else 1
 
 
