@@ -12,10 +12,14 @@ same architecture (lucidrains conformer semantics):
     x = x + 0.5 * FF(x)
     x = LayerNorm(x)
 
-TPU notes: the conv module's torch BatchNorm1d is replaced by GroupNorm
-(channel-wise, stateless) — batch statistics are a poor fit for masked
-variable-length sequences under jit, and no published Matcha checkpoint
-uses the conformer path, so there is no weight-compat constraint.
+TPU notes: by default the conv module's torch BatchNorm1d is replaced by
+GroupNorm (channel-wise, stateless) — batch statistics are a poor fit for
+masked variable-length sequences under jit, and no published Matcha
+checkpoint uses the conformer path. For converting a torch conformer
+checkpoint, ``use_batch_norm=True`` selects the torch-faithful
+BatchNorm1d inference form instead (running stats frozen in the
+``batch_stats`` collection — ``nn.BatchNorm(use_running_average=True)``;
+conversion rule: utils/checkpoints.py ``_convert_conformer_block``).
 """
 
 from typing import Optional
@@ -44,13 +48,21 @@ class ConformerFeedForward(nn.Module):
 
 
 class ConformerAttention(nn.Module):
-    """Pre-norm MHSA with Shaw relative-position bias on the scores."""
+    """Pre-norm MHSA with Shaw relative-position bias on the scores.
+
+    ``combined_mask``: lucidrains/torch semantics — mask query AND key
+    positions (a fully-masked query row softmaxes to uniform attention
+    over everything instead of attending to valid keys). The default
+    masks keys only (padded queries attend to valid content; their rows
+    are zeroed by the block's output mask anyway).
+    """
 
     dim: int
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
     max_pos_emb: int = 512
+    combined_mask: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -69,15 +81,19 @@ class ConformerAttention(nn.Module):
         scale = self.dim_head ** -0.5
         scores = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
 
-        # Shaw-style relative positional bias: q . rel_emb[j - i]
+        # Shaw-style relative positional bias: q_i . rel_emb[i - j]
+        # (lucidrains conformer distance convention, which converted torch
+        # checkpoints depend on)
         pos = jnp.arange(T)
-        rel = jnp.clip(pos[None, :] - pos[:, None], -self.max_pos_emb, self.max_pos_emb) + self.max_pos_emb
+        rel = jnp.clip(pos[:, None] - pos[None, :], -self.max_pos_emb, self.max_pos_emb) + self.max_pos_emb
         rel_emb = nn.Embed(2 * self.max_pos_emb + 1, self.dim_head, name="rel_pos_emb")(rel)
         scores = scores + jnp.einsum("bhid,ijd->bhij", q, rel_emb) * scale
 
         if mask is not None:
             big_neg = jnp.finfo(scores.dtype).min
-            scores = jnp.where(mask[:, None, None, :] > 0, scores, big_neg)
+            keep = (mask[:, None, :, None] * mask[:, None, None, :]
+                    if self.combined_mask else mask[:, None, None, :])
+            scores = jnp.where(keep > 0, scores, big_neg)
         attn = nn.softmax(scores, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
@@ -91,6 +107,10 @@ class ConformerConvModule(nn.Module):
     expansion_factor: int = 2
     kernel_size: int = 31
     dropout: float = 0.0
+    #: torch-faithful BatchNorm1d (inference running-stats form) instead of
+    #: the stateless GroupNorm default — required for torch conformer
+    #: checkpoint conversion (see module docstring)
+    use_batch_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -102,9 +122,16 @@ class ConformerConvModule(nn.Module):
         pad = (self.kernel_size - 1) // 2
         h = nn.Conv(inner, (self.kernel_size,), padding=[(pad, self.kernel_size - 1 - pad)],
                     feature_group_count=inner, name="depthwise")(h)
-        # stateless channel norm in place of torch BatchNorm1d (see module
-        # docstring)
-        h = nn.GroupNorm(num_groups=1, name="bn")(h)
+        if self.use_batch_norm:
+            # torch BatchNorm1d eval semantics: frozen running mean/var
+            # (batch_stats collection), eps 1e-5 — weight-compatible with
+            # the reference's conv.net.5 (lucidrains ConformerConvModule)
+            h = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                             name="bn")(h)
+        else:
+            # stateless channel norm in place of torch BatchNorm1d (see
+            # module docstring)
+            h = nn.GroupNorm(num_groups=1, name="bn")(h)
         h = swish(h)
         h = nn.Dense(self.dim, name="pw2")(h)
         return nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -123,6 +150,7 @@ class ConformerBlock(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
+    use_batch_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask2d: Optional[jnp.ndarray] = None,
@@ -130,13 +158,21 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * ConformerFeedForward(self.dim, self.ff_mult, self.ff_dropout,
                                            name="ff1")(x, deterministic)
         x = x + ConformerAttention(self.dim, self.heads, self.dim_head, self.attn_dropout,
+                                   combined_mask=self.use_batch_norm,
                                    name="attn")(x, mask2d, deterministic)
         x = x + ConformerConvModule(self.dim, self.conv_expansion_factor,
                                     self.conv_kernel_size, self.conv_dropout,
+                                    use_batch_norm=self.use_batch_norm,
                                     name="conv")(x, deterministic)
         x = x + 0.5 * ConformerFeedForward(self.dim, self.ff_mult, self.ff_dropout,
                                            name="ff2")(x, deterministic)
         x = nn.LayerNorm(name="post_norm")(x)
-        if mask2d is not None:
+        # torch-faithful (conversion) mode leaves padded rows unmasked like
+        # the reference block stack (the surrounding U-Net masks at stage
+        # boundaries, reference decoder.py:406,438-442); their values flow
+        # into valid frames through the next block's depthwise conv, so
+        # zeroing them here would break converted-checkpoint parity at
+        # n_blocks > 1.
+        if mask2d is not None and not self.use_batch_norm:
             x = x * mask2d[..., None]
         return x

@@ -84,6 +84,9 @@ class Decoder(nn.Module):
     down_block_type: str = "transformer"
     mid_block_type: str = "transformer"
     up_block_type: str = "transformer"
+    # torch-faithful BatchNorm1d (inference form) in conformer conv modules
+    # — set when loading a converted torch conformer checkpoint
+    conformer_batch_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -128,7 +131,9 @@ class Decoder(nn.Module):
                         h.shape[-1], heads=self.num_heads, dim_head=self.attention_head_dim,
                         ff_mult=1, conv_expansion_factor=2, conv_kernel_size=31,
                         attn_dropout=self.dropout, ff_dropout=self.dropout,
-                        conv_dropout=self.dropout, name=f"{prefix}_conformer_{j}",
+                        conv_dropout=self.dropout,
+                        use_batch_norm=self.conformer_batch_norm,
+                        name=f"{prefix}_conformer_{j}",
                     )(h, mask2d, deterministic=deterministic)
                 elif block_type == "transformer":
                     h = BasicTransformerBlock(

@@ -56,6 +56,9 @@ class MatchaTTS(nn.Module):
     dec_down_block_type: str = "transformer"
     dec_mid_block_type: str = "transformer"
     dec_up_block_type: str = "transformer"
+    # torch-faithful BatchNorm1d in conformer conv modules (checkpoint
+    # conversion sets this when the state dict carries running stats)
+    dec_conformer_batch_norm: bool = False
     # "additive_reference" keeps the reference/diffusers 0/1-additive mask
     # quirk (needed for converted checkpoints); "proper" masks padded keys.
     dec_mask_mode: str = "additive_reference"
@@ -104,6 +107,7 @@ class MatchaTTS(nn.Module):
             down_block_type=self.dec_down_block_type,
             mid_block_type=self.dec_mid_block_type,
             up_block_type=self.dec_up_block_type,
+            conformer_batch_norm=self.dec_conformer_batch_norm,
         )
         if self.n_spks > 1:
             self.spk_emb = nn.Embed(self.n_spks, self.spk_emb_dim)

@@ -134,13 +134,55 @@ def _convert_transformer_block(sd, prefix: str, out: dict, path: str) -> None:
     _convert_dense(sd, f"{prefix}.ff.net.2", out, f"{path}/ff/proj_out")
 
 
+def _convert_conformer_block(sd, prefix: str, out: dict, bstats: dict, path: str) -> None:
+    """Reference ConformerWrapper (decoder.py:161-198 — the lucidrains
+    conformer.ConformerBlock) -> our flax ConformerBlock(use_batch_norm).
+
+    Torch key layout (lucidrains 0.3.x): ff1/ff2 = Scale(0.5, PreNorm(dim,
+    FeedForward(net=Sequential[Linear, Swish, Dropout, Linear, Dropout]))),
+    attn = PreNorm(dim, Attention(to_q/to_kv/to_out/rel_pos_emb)), conv =
+    Sequential[LayerNorm, Rearrange, Conv1d k=1, GLU, DepthWiseConv1d,
+    BatchNorm1d, Swish, Conv1d k=1, Rearrange, Dropout], post_norm.
+    BatchNorm running stats land in the ``batch_stats`` collection
+    (inference form — models/components/conformer.py use_batch_norm)."""
+    for ff in ("ff1", "ff2"):
+        _convert_layernorm(sd, f"{prefix}.{ff}.fn.norm", out, f"{path}/{ff}/norm")
+        _convert_dense(sd, f"{prefix}.{ff}.fn.fn.net.0", out, f"{path}/{ff}/ff1")
+        _convert_dense(sd, f"{prefix}.{ff}.fn.fn.net.3", out, f"{path}/{ff}/ff2")
+    _convert_layernorm(sd, f"{prefix}.attn.norm", out, f"{path}/attn/norm")
+    _convert_dense(sd, f"{prefix}.attn.fn.to_q", out, f"{path}/attn/to_q", bias=False)
+    _convert_dense(sd, f"{prefix}.attn.fn.to_kv", out, f"{path}/attn/to_kv", bias=False)
+    _convert_dense(sd, f"{prefix}.attn.fn.to_out", out, f"{path}/attn/to_out")
+    _set(out, f"{path}/attn/rel_pos_emb/embedding",
+         _np(sd[f"{prefix}.attn.fn.rel_pos_emb.weight"]))
+    _convert_layernorm(sd, f"{prefix}.conv.net.0", out, f"{path}/conv/norm")
+    # k=1 convs map to Dense: (out, in, 1) torch weight -> (in, out) kernel
+    _set(out, f"{path}/conv/pw1/kernel", _np(sd[f"{prefix}.conv.net.2.weight"])[:, :, 0].T)
+    _set(out, f"{path}/conv/pw1/bias", _np(sd[f"{prefix}.conv.net.2.bias"]))
+    # bare nn.Conv named "depthwise" (no inner /conv scope): (inner,1,k)
+    # torch depthwise weight -> (k,1,inner) flax grouped-conv kernel
+    _set(out, f"{path}/conv/depthwise/kernel",
+         conv1d_kernel(_np(sd[f"{prefix}.conv.net.4.conv.weight"])))
+    _set(out, f"{path}/conv/depthwise/bias", _np(sd[f"{prefix}.conv.net.4.conv.bias"]))
+    _set(out, f"{path}/conv/bn/scale", _np(sd[f"{prefix}.conv.net.5.weight"]))
+    _set(out, f"{path}/conv/bn/bias", _np(sd[f"{prefix}.conv.net.5.bias"]))
+    _set(bstats, f"{path}/conv/bn/mean", _np(sd[f"{prefix}.conv.net.5.running_mean"]))
+    _set(bstats, f"{path}/conv/bn/var", _np(sd[f"{prefix}.conv.net.5.running_var"]))
+    _set(out, f"{path}/conv/pw2/kernel", _np(sd[f"{prefix}.conv.net.7.weight"])[:, :, 0].T)
+    _set(out, f"{path}/conv/pw2/bias", _np(sd[f"{prefix}.conv.net.7.bias"]))
+    _convert_layernorm(sd, f"{prefix}.post_norm", out, f"{path}/post_norm")
+
+
 def convert_matcha_state_dict(sd: Dict[str, Any], n_down_blocks: int = 2, num_mid_blocks: int = 2) -> dict:
     """Convert a reference MatchaTTS torch state_dict to a flax param tree.
 
     Naming follows the reference modules (matcha/models/matcha_tts.py,
-    components/text_encoder.py, components/decoder.py).
+    components/text_encoder.py, components/decoder.py). Conformer-block
+    checkpoints additionally yield a ``batch_stats`` collection (BatchNorm
+    running stats, inference form).
     """
     out: dict = {}
+    bstats: dict = {}
 
     # --- text encoder -----------------------------------------------------
     _set(out, "encoder/emb/embedding", _np(sd["encoder.emb.weight"]))
@@ -184,6 +226,10 @@ def convert_matcha_state_dict(sd: Dict[str, Any], n_down_blocks: int = 2, num_mi
         js = sorted({int(m.group(1)) for k in sd if (m := re.match(re.escape(prefix) + r"\.(\d+)\.norm1\.", k))})
         for j in js:
             _convert_transformer_block(sd, f"{prefix}.{j}", out, f"{path_prefix}_transformer_{j}")
+        # conformer blocks are recognised by their post_norm (decoder.py:318)
+        cs = sorted({int(m.group(1)) for k in sd if (m := re.match(re.escape(prefix) + r"\.(\d+)\.post_norm\.", k))})
+        for j in cs:
+            _convert_conformer_block(sd, f"{prefix}.{j}", out, bstats, f"{path_prefix}_conformer_{j}")
 
     for i in range(n_down_blocks):
         _convert_resnet_block(sd, f"{est}.down_blocks.{i}.0", out, f"decoder/down_{i}_resnet")
@@ -217,6 +263,8 @@ def convert_matcha_state_dict(sd: Dict[str, Any], n_down_blocks: int = 2, num_mi
     _convert_groupnorm(sd, f"{est}.final_block.block.1", out, "decoder/final_block/norm")
     _convert_dense(sd, f"{est}.final_proj", out, "decoder/final_proj")
 
+    if bstats:
+        return {"params": out, "batch_stats": bstats}
     return {"params": out}
 
 
@@ -280,6 +328,10 @@ def load_torch_matcha_checkpoint(path: str) -> Tuple[dict, dict]:
         )
     if cfm is not None:
         kwargs.update(sigma_min=float(_get(cfm, "sigma_min", 1e-4)))
+    if any(k.endswith(".conv.net.5.running_mean") for k in sd):
+        # conformer blocks with BatchNorm running stats: select the
+        # torch-faithful inference BatchNorm form so the stats convert
+        kwargs.update(dec_conformer_batch_norm=True)
     if "mel_mean" in sd:
         kwargs.update(mel_mean=float(_np(sd["mel_mean"])), mel_std=float(_np(sd["mel_std"])))
 

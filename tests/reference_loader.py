@@ -162,14 +162,165 @@ def maybe_allow_in_graph(cls):
     return cls
 
 
-class _StubConformerBlock(nn.Module):
-    """conformer.ConformerBlock placeholder: only the non-default
-    "conformer" decoder block type instantiates it."""
+# ---------------------------------------------------------------------------
+# conformer (lucidrains) slice — faithful to conformer 0.3.x semantics so the
+# reference's ConformerWrapper (decoder.py:161-198) runs as a real oracle and
+# its state_dict carries the EXACT key names a real conformer checkpoint
+# would (ff1.fn.fn.net.*, attn.fn.to_kv, conv.net.4.conv, conv.net.5 BN, …)
+# ---------------------------------------------------------------------------
+def _calc_same_padding(kernel_size):
+    pad = kernel_size // 2
+    return (pad, pad - (kernel_size + 1) % 2)
 
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "conformer is not installed; only the default 'transformer' "
-            "block type can be parity-tested here")
+
+class _Swish(nn.Module):
+    def forward(self, x):
+        return x * x.sigmoid()
+
+
+class _GLU(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.dim = dim
+
+    def forward(self, x):
+        out, gate = x.chunk(2, dim=self.dim)
+        return out * gate.sigmoid()
+
+
+class _Transpose12(nn.Module):
+    """einops Rearrange('b n c -> b c n') equivalent (stateless)."""
+
+    def forward(self, x):
+        return x.transpose(1, 2)
+
+
+class _DepthWiseConv1d(nn.Module):
+    def __init__(self, chan_in, chan_out, kernel_size, padding):
+        super().__init__()
+        self.padding = padding
+        self.conv = nn.Conv1d(chan_in, chan_out, kernel_size, groups=chan_in)
+
+    def forward(self, x):
+        x = F.pad(x, self.padding)
+        return self.conv(x)
+
+
+class _Scale(nn.Module):
+    def __init__(self, scale, fn):
+        super().__init__()
+        self.fn, self.scale = fn, scale
+
+    def forward(self, x, **kwargs):
+        return self.fn(x, **kwargs) * self.scale
+
+
+class _PreNorm(nn.Module):
+    def __init__(self, dim, fn):
+        super().__init__()
+        self.fn = fn
+        self.norm = nn.LayerNorm(dim)
+
+    def forward(self, x, **kwargs):
+        return self.fn(self.norm(x), **kwargs)
+
+
+class _ConformerAttention(nn.Module):
+    """lucidrains conformer Attention: MHSA + Shaw relative position bias
+    (rel_pos_emb over clipped distances), combined query x key bool mask."""
+
+    def __init__(self, dim, heads=8, dim_head=64, dropout=0.0, max_pos_emb=512):
+        super().__init__()
+        inner_dim = dim_head * heads
+        self.heads, self.scale, self.max_pos_emb = heads, dim_head ** -0.5, max_pos_emb
+        self.to_q = nn.Linear(dim, inner_dim, bias=False)
+        self.to_kv = nn.Linear(dim, inner_dim * 2, bias=False)
+        self.to_out = nn.Linear(inner_dim, dim)
+        self.rel_pos_emb = nn.Embedding(2 * max_pos_emb + 1, dim_head)
+        self.dropout = nn.Dropout(dropout)
+
+    def forward(self, x, mask=None):
+        B, n, _ = x.shape
+        h = self.heads
+        q = self.to_q(x)
+        k, v = self.to_kv(x).chunk(2, dim=-1)
+        q, k, v = (t.view(B, n, h, -1).transpose(1, 2) for t in (q, k, v))
+        dots = torch.einsum("bhid,bhjd->bhij", q, k) * self.scale
+        seq = torch.arange(n, device=x.device)
+        dist = (seq[:, None] - seq[None, :]).clamp(
+            -self.max_pos_emb, self.max_pos_emb) + self.max_pos_emb
+        rel = self.rel_pos_emb(dist).to(q.dtype)
+        dots = dots + torch.einsum("bhnd,nrd->bhnr", q, rel) * self.scale
+        if mask is not None:
+            mask2d = mask[:, None, :, None] * mask[:, None, None, :]
+            dots = dots.masked_fill(~mask2d, -torch.finfo(dots.dtype).max)
+        attn = dots.softmax(dim=-1)
+        out = torch.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(1, 2).reshape(B, n, -1)
+        return self.dropout(self.to_out(out))
+
+
+class _ConformerFeedForward(nn.Module):
+    def __init__(self, dim, mult=4, dropout=0.0):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Linear(dim, dim * mult), _Swish(), nn.Dropout(dropout),
+            nn.Linear(dim * mult, dim), nn.Dropout(dropout))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _ConformerConvModule(nn.Module):
+    def __init__(self, dim, causal=False, expansion_factor=2,
+                 kernel_size=31, dropout=0.0):
+        super().__init__()
+        inner = dim * expansion_factor
+        padding = _calc_same_padding(kernel_size) if not causal else (kernel_size - 1, 0)
+        self.net = nn.Sequential(
+            nn.LayerNorm(dim),
+            _Transpose12(),
+            nn.Conv1d(dim, inner * 2, 1),
+            _GLU(dim=1),
+            _DepthWiseConv1d(inner, inner, kernel_size=kernel_size, padding=padding),
+            nn.BatchNorm1d(inner) if not causal else nn.Identity(),
+            _Swish(),
+            nn.Conv1d(inner, dim, 1),
+            _Transpose12(),
+            nn.Dropout(dropout))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _ConformerBlock(nn.Module):
+    """conformer.ConformerBlock (lucidrains): half-step FF sandwich around
+    MHSA + conv module, post LayerNorm. Same wrapping order as upstream so
+    state_dict keys match (ff1 = Scale(0.5, PreNorm(dim, FeedForward)))."""
+
+    def __init__(self, *, dim, dim_head=64, heads=8, ff_mult=4,
+                 conv_expansion_factor=2, conv_kernel_size=31,
+                 attn_dropout=0.0, ff_dropout=0.0, conv_dropout=0.0,
+                 conv_causal=False):
+        super().__init__()
+        self.ff1 = _ConformerFeedForward(dim=dim, mult=ff_mult, dropout=ff_dropout)
+        self.attn = _ConformerAttention(dim=dim, dim_head=dim_head, heads=heads,
+                                        dropout=attn_dropout)
+        self.conv = _ConformerConvModule(
+            dim=dim, causal=conv_causal, expansion_factor=conv_expansion_factor,
+            kernel_size=conv_kernel_size, dropout=conv_dropout)
+        self.ff2 = _ConformerFeedForward(dim=dim, mult=ff_mult, dropout=ff_dropout)
+        self.attn = _PreNorm(dim, self.attn)
+        self.ff1 = _Scale(0.5, _PreNorm(dim, self.ff1))
+        self.ff2 = _Scale(0.5, _PreNorm(dim, self.ff2))
+        self.post_norm = nn.LayerNorm(dim)
+
+    def forward(self, x, mask=None):
+        x = self.ff1(x) + x
+        x = self.attn(x, mask=mask) + x
+        x = self.conv(x) + x
+        x = self.ff2(x) + x
+        return self.post_norm(x)
 
 
 class _StubLightningModule(nn.Module):
@@ -232,7 +383,7 @@ def load_reference_models():
         "diffusers.utils": _module("diffusers.utils"),
         "diffusers.utils.torch_utils": _module(
             "diffusers.utils.torch_utils", maybe_allow_in_graph=maybe_allow_in_graph),
-        "conformer": _module("conformer", ConformerBlock=_StubConformerBlock),
+        "conformer": _module("conformer", ConformerBlock=_ConformerBlock),
         "lightning": _module("lightning", LightningModule=_StubLightningModule),
         "lightning.pytorch": _module("lightning.pytorch"),
         "lightning.pytorch.utilities": _module(
