@@ -627,6 +627,13 @@ class TTSPipeline:
         """
         import jax.numpy as jnp
 
+        if key_fold is not None and not fixed_y_bucket:
+            # dynamic path: no fused graph to fold inside — apply the fold
+            # eagerly so key_fold means the same thing on every path
+            # (silently ignoring it would reuse the SAME key per call)
+            import jax
+
+            key = jax.random.fold_in(key, int(key_fold))
         x_lengths_host = np.asarray(x_lengths)
         T_x = pick_bucket(x.shape[-1], X_BUCKETS)
         x_pad = np.zeros((x.shape[0], T_x), dtype=np.int32)

@@ -9,7 +9,7 @@ Parzen windows over past trials, propose the candidate maximizing their
 ratio) plus plain random/grid sampling, optimizing the metric named by
 ``optimized_metric``:
 
-    python -m matcha_tpu.training.sweep hparams_search=optuna_stub \\
+    python -m matcha_tpu.training.sweep hparams_search=matcha_optuna \\
         experiment=ljspeech trainer.max_steps=200
 """
 
@@ -229,7 +229,7 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     argv = list(sys.argv[1:] if argv is None else argv)
     if not any(o.startswith("hparams_search=") for o in argv):
-        argv.append("hparams_search=optuna_stub")
+        argv.append("hparams_search=matcha_optuna")
     run_sweep(argv)
 
 

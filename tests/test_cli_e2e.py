@@ -564,6 +564,35 @@ def test_key_fold_in_graph_and_raw_pcm24_delivery(fabricated_ckpts, monkeypatch)
     np.testing.assert_array_equal(ml2, ml)
 
 
+def test_key_fold_dynamic_path_not_ignored(fabricated_ckpts, monkeypatch):
+    """``key_fold`` on the DYNAMIC path (no fused graph to fold inside)
+    must still fold — silently ignoring it would reuse the SAME key for
+    every call (identical CFM noise across requests)."""
+    monkeypatch.setenv("MATCHA_HOME", fabricated_ckpts)
+    import jax
+
+    from matcha_tpu.cli import TTSPipeline, load_matcha, process_text
+
+    ckpt = os.path.join(fabricated_ckpts, "matcha_tpu", "matcha_ljspeech.ckpt")
+    model, params = load_matcha("matcha_ljspeech", ckpt)
+    pipe = TTSPipeline(model, params, None, None, None,
+                       "english_cleaners_no_espeak")
+    tp = process_text(0, "dynamic fold check", "english_cleaners_no_espeak")
+    key = jax.random.PRNGKey(3)
+    kw = dict(n_timesteps=1, length_scale=1.0)
+
+    o_eager = pipe.synthesise_batch(tp["x"], tp["x_lengths"],
+                                    jax.random.fold_in(key, 7), **kw)
+    o_fold = pipe.synthesise_batch(tp["x"], tp["x_lengths"], key,
+                                   key_fold=7, **kw)
+    o_other = pipe.synthesise_batch(tp["x"], tp["x_lengths"], key,
+                                    key_fold=8, **kw)
+    np.testing.assert_array_equal(np.asarray(o_fold["mel"]),
+                                  np.asarray(o_eager["mel"]))
+    assert np.abs(np.asarray(o_other["mel"])
+                  - np.asarray(o_eager["mel"])).max() > 0
+
+
 @pytest.mark.slow
 def test_pcm24_pack_wav_dynamic_path(fabricated_ckpts, monkeypatch):
     """DYNAMIC path (serve's): pack_wav ships the same wire format — the

@@ -105,7 +105,7 @@ def test_tpe_ignores_nan_trials():
 
 
 def test_run_sweep_with_injected_objective():
-    """End-to-end through the config tree (hparams_search=optuna_stub is
+    """End-to-end through the config tree (hparams_search=matcha_optuna is
     kind: tpe): the injected objective sees each trial's composed config
     with the proposed lr applied, and the returned best tracks it."""
     seen = []
@@ -116,7 +116,7 @@ def test_run_sweep_with_injected_objective():
         return {"loss/val": (math.log10(lr) + 4.0) ** 2}
 
     best = run_sweep(
-        ["hparams_search=optuna_stub", "run_name=sweeptest",
+        ["hparams_search=matcha_optuna", "run_name=sweeptest",
          "hparams_search.sweeper.n_trials=12",
          "hparams_search.sweeper.n_startup_trials=4"],
         objective=objective)

@@ -108,6 +108,53 @@ def test_datamodule_native_frontend(corpus, datamodule):
         np.testing.assert_allclose(a["y"], b["y"], atol=1e-3)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif((os.cpu_count() or 1) < 4,
+                    reason="needs >=4 cores to observe loader scaling")
+def test_datamodule_worker_scaling(tmp_path):
+    """Guard the worker-pool loader's multi-core scaling claim
+    (PERFORMANCE.md loader table was measured on a 1-core box): on a
+    >=4-core host, 4 workers must load a mel-extraction-bound corpus
+    materially faster than the serial loader. The mel path (numpy
+    pocketfft / the C++ frontend) releases the GIL, so threads are
+    expected to scale; if a future change reintroduces GIL-bound work in
+    the item path, this trips."""
+    import time
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(48):
+        t = np.arange(int(SR * 2.5)) / SR
+        audio = (0.4 * np.sin(2 * np.pi * (150 + 20 * i) * t)).astype(np.float32)
+        audio += rng.normal(0, 0.01, audio.shape).astype(np.float32)
+        p = tmp_path / f"utt{i}.wav"
+        write_wav(p, audio, SR)
+        entries.append(f"{p}|scaling check utterance number {i}")
+    fl = tmp_path / "train.txt"
+    fl.write_text("\n".join(entries), encoding="utf-8")
+
+    from matcha_tpu.training.data import TextMelDataModule
+
+    def run(num_workers):
+        dm = TextMelDataModule(
+            name="scale", train_filelist_path=str(fl),
+            valid_filelist_path=str(fl), batch_size=8,
+            cleaners=["english_cleaners_no_espeak"], n_spks=1, n_feats=80,
+            f_max=8000, data_statistics={"mel_mean": -5.5, "mel_std": 2.1},
+            seed=1, num_workers=num_workers)
+        list(dm.train_batches(0))  # warm (phoneme cache, imports)
+        t0 = time.perf_counter()
+        n = sum(1 for _ in dm.train_batches(0))
+        return n, time.perf_counter() - t0
+
+    n_serial, t_serial = run(0)
+    n_par, t_par = run(4)
+    assert n_serial == n_par
+    # conservative bar: 4 workers must beat serial by >=1.6x (measured
+    # headroom is larger; the bar only guards against NO scaling)
+    assert t_serial / t_par >= 1.6, (t_serial, t_par)
+
+
 def test_data_statistics_tool(datamodule):
     from matcha_tpu.training.generate_data_statistics import compute_data_statistics
 
