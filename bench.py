@@ -25,6 +25,21 @@ drawn from a spread (64-192 tokens) so batches land in DIFFERENT mel
 buckets, exercising the bucket-cache machinery the way a real filelist
 does. jit caches are warmed first (steady-state serving measurement).
 
+Robustness contract (the round-4 lesson — BENCH_r04 died rc=124 inside
+the latency probes when changed HLO missed the persistent XLA cache and
+recompiled cold through the remote-compile tunnel):
+
+* EVERY graph a timed/probed region touches is compiled in an explicit
+  warmup phase first; a compile-event counter verifies the timed regions
+  stayed compile-free and the count is reported in the record
+  (``compile_events``; tests/test_bench_guard.py pins it to zero).
+* A wall-clock budget (``MATCHA_BENCH_BUDGET_S``, default 2100 s) gates
+  every optional probe; a slow hour degrades the record (``skipped`` +
+  ``errors`` keys) instead of erasing it.
+* The one-line JSON record ALWAYS prints: probes run under per-probe
+  try/except, and SIGTERM/SIGALRM are converted to exceptions so even an
+  external ``timeout`` produces a partial record on stdout.
+
 Prints ONE JSON line:
   {"metric": "serving_throughput_128utt_bucketed", "value": X,
    "unit": "x_realtime_per_chip", "vs_baseline": X / 200, ...}
@@ -33,9 +48,99 @@ extra keys report p50/p90 latency vs the <=50 ms target.)
 """
 
 import json
+import os
+import signal
 import time
 
 import numpy as np
+
+N_UTTS = 128
+BATCH = 8  # B=16 at the 1024-frame bucket exhausts the 16G HBM (vocoder MRF)
+N_STEPS = 10
+SR, HOP = 22050, 256
+LENGTH_SCALE = 3.5
+TEMPERATURE = 0.667
+#: token lengths of the two latency sentences (~3.4 s / ~6.4 s of audio)
+SENTENCE_TOKENS = {"typical": 58, "long": 110}
+
+#: self-imposed wall-clock budget. The driver wraps bench.py in its own
+#: (unknown) timeout; staying under OUR budget and printing a partial
+#: record beats being SIGKILLed with nothing on stdout.
+BUDGET_S = float(os.environ.get("MATCHA_BENCH_BUDGET_S", "2100"))
+
+
+class BudgetExceeded(Exception):
+    pass
+
+
+class Budget:
+    """Wall-clock budget: probes check in before running; SIGALRM/SIGTERM
+    raise so ``main``'s finally-print still emits the JSON record."""
+
+    def __init__(self, total_s: float):
+        self.t0 = time.perf_counter()
+        self.total = total_s
+        self.skipped = []
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
+
+    def remaining(self) -> float:
+        return self.total - self.elapsed()
+
+    def gate(self, name: str, need_s: float) -> bool:
+        """True if ``name`` may run; records the skip otherwise."""
+        if self.remaining() >= need_s:
+            return True
+        self.skipped.append(name)
+        print(f"# skipping {name}: {self.remaining():.0f}s left < {need_s:.0f}s needed",
+              flush=True)
+        return False
+
+    def install_signal_handlers(self):
+        def _raise(signum, frame):
+            raise BudgetExceeded(f"signal {signum} at t={self.elapsed():.0f}s")
+
+        signal.signal(signal.SIGTERM, _raise)
+        signal.signal(signal.SIGALRM, _raise)
+        # leave ~45 s of slack to run the finally-print + flush
+        signal.alarm(max(30, int(self.total)))
+
+
+# ---------------------------------------------------------------------------
+# compile-event accounting: the timed/probed regions must never compile.
+# /jax/compilation_cache/compile_requests_use_cache fires once per XLA
+# compile REQUEST (persistent-cache hits included — those still cost a
+# cache load, which through the remote-compile tunnel is not free), and
+# never on in-memory executable reuse — exactly the "no new graphs after
+# warmup" invariant. tests/test_bench_guard.py pins regions to zero.
+# ---------------------------------------------------------------------------
+
+_COMPILE_EVENTS = {"n": 0, "armed": False}
+
+
+def _install_compile_counter():
+    from jax._src import monitoring
+
+    def _listener(name, **kw):
+        if _COMPILE_EVENTS["armed"] and name == "/jax/compilation_cache/compile_requests_use_cache":
+            _COMPILE_EVENTS["n"] += 1
+
+    monitoring.register_event_listener(_listener)
+
+
+class count_compiles:
+    """Context manager: counts compile requests inside the block."""
+
+    def __enter__(self):
+        self.start = _COMPILE_EVENTS["n"]
+        _COMPILE_EVENTS["armed"] = True
+        return self
+
+    def __exit__(self, *exc):
+        _COMPILE_EVENTS["armed"] = False
+        self.count = _COMPILE_EVENTS["n"] - self.start
+        return False
 
 
 def _wait_for_devices(retries: int = 5, delay_s: float = 20.0):
@@ -51,14 +156,6 @@ def _wait_for_devices(retries: int = 5, delay_s: float = 20.0):
                 raise
             print(f"# devices unavailable ({e}); retrying in {delay_s}s", flush=True)
             time.sleep(delay_s)
-
-
-N_UTTS = 128
-BATCH = 8  # B=16 at the 1024-frame bucket exhausts the 16G HBM (vocoder MRF)
-N_STEPS = 10
-SR, HOP = 22050, 256
-LENGTH_SCALE = 3.5
-TEMPERATURE = 0.667
 
 
 def build_pipeline():
@@ -109,20 +206,34 @@ def make_corpus(rng):
     return [rng.integers(1, 178, size=(int(n),)).astype(np.int32) for n in lengths]
 
 
-def run_batched(pipeline, utts, key, timed: bool):
+def make_sentences():
+    """The two fixed latency-probe sentences (deterministic)."""
+    rng = np.random.default_rng(7)
+    return {name: rng.integers(1, 178, size=(1, n)).astype(np.int32)
+            for name, n in SENTENCE_TOKENS.items()}
+
+
+def run_batched(pipeline, utts, key):
     """One full sweep over the corpus through the staged batched serving
     protocol (``TTSPipeline.synthesise_corpus``): sorted by length ->
     B=8 batches -> ALL encoder passes dispatched -> ONE host transfer of
     the predicted mel lengths -> decode+vocode per bucket. The per-batch
     path pays ~2 blocking ~28 ms host round trips per batch through the
-    remote-attached chip; the staged path pays one total."""
-    import jax
+    remote-attached chip; the staged path pays one total.
+
+    Returns (audio_seconds, wall_seconds, max frames-per-token ratio).
+    The ratio seeds the fused auto-bucket calibration
+    (``pipeline._dur_ratio``) so the latency probes' first auto call picks
+    the tight bucket directly instead of compiling the largest
+    (2048-frame) graph — the compile that blew round 4's driver budget.
+    """
     import jax.numpy as jnp
 
     audio_seconds = 0.0
+    max_ratio = 0.0
     acc = jnp.float32(0)
     t0 = time.perf_counter()
-    for _chunk, out in pipeline.synthesise_corpus(
+    for chunk, out in pipeline.synthesise_corpus(
         utts, key, n_timesteps=N_STEPS, temperature=TEMPERATURE,
         length_scale=LENGTH_SCALE, batch_size=BATCH,
     ):
@@ -131,109 +242,143 @@ def run_batched(pipeline, utts, key, timed: bool):
         # the split path is an extra eager dispatch)
         fs = out.get("first_sample")
         acc = acc + (fs if fs is not None else out["waveform"][0, 0])
-        audio_seconds += float(out["mel_lengths_host"].sum()) * HOP / SR
+        ml = out["mel_lengths_host"]
+        audio_seconds += float(ml.sum()) * HOP / SR
+        toks = np.asarray([len(utts[i]) for i in chunk], np.float64)
+        max_ratio = max(max_ratio, float((ml / (toks * LENGTH_SCALE)).max()))
     # Force the whole chain: block_until_ready() can return before the
     # tunnel-attached device finishes — only a data fetch is honest.
     float(acc)
     wall = time.perf_counter() - t0
-    return audio_seconds, wall
+    return audio_seconds, wall, max_ratio
 
 
-def run_latency(pipeline, key, n_calls: int = 30):
-    """B=1 single-sentence latency through the AUTO-bucketed fused graph.
+# ---------------------------------------------------------------------------
+# latency probes. Each probe is warm-started by warm_probes() so the timed
+# loops never compile; each returns plain dict entries for the record.
+# ---------------------------------------------------------------------------
 
-    No hand-tuned bucket flag: ``fixed_y_bucket="auto"`` self-calibrates
-    the tightest fused mel bucket from observed durations (first call runs
-    the largest bucket, then tightens), and the result is guaranteed
-    truncation-free — unlike round 2's hand-picked ``--fixed-y-bucket
-    448``, which silently clipped this corpus's durations (553 predicted
-    frames) and flattered the latency number. Per call the pipeline pays
-    exactly ONE host sync: the fused graph packs mel_lengths into the wav
-    transfer. Two sentences are measured: a typical ~3.4 s-audio sentence
-    (the headline number) and a long ~6.4 s one; plus the per-call tunnel
-    floor (trivial jitted dispatch + scalar fetch) so the percentiles
-    decompose into device work vs transport."""
+
+def _call_auto(pipeline, x, key, i):
+    """One fused auto-bucket call, raw pcm24 delivery (per-call key derived
+    IN-GRAPH from the base key + call index — key_fold; an eager fold_in
+    is 1-2 tunnel dispatches). The packed 24-bit PCM rows + lengths are the
+    exact frames write_wav/serving emit, i.e. the complete deliverable
+    (raw_pcm24 skips the ~1.6 ms host f32 unpack)."""
+    out = pipeline.synthesise_batch(
+        x, np.asarray([x.shape[-1]], np.int32), key,
+        n_timesteps=N_STEPS, temperature=TEMPERATURE,
+        length_scale=LENGTH_SCALE, fixed_y_bucket="auto",
+        key_fold=1000 + i, raw_pcm24=True,
+    )
+    # the single packed sync already delivered the samples host-side
+    assert out["pcm24_bytes_host"] is not None
+    return out
+
+
+def warm_probes(pipeline, sentences, key):
+    """Compile EVERY graph the probes touch (the round-4 fix: new probe
+    graphs must never compile inside timed regions). Per sentence: the
+    fused auto graph is called until its bucket choice stabilises (the
+    calibration ratio is a running max, so one non-saturated call pins
+    it). Also warms: the trivial RTT probe, the payload split/fetch
+    graphs, and the fixed-bucket queue/pipeline graph (identical HLO to
+    the auto graph once the bucket matches).
+
+    Returns {"buckets": {name: bucket}, "tiny": fn, "buf_fn": fn, "k": n}.
+    """
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(7)
-    sentences = {
-        "typical": rng.integers(1, 178, size=(1, 58)).astype(np.int32),
-        "long": rng.integers(1, 178, size=(1, 110)).astype(np.int32),
-    }
+    from matcha_tpu.cli import _fetch_parts_host, _n_fetch_parts, _split_parts
 
-    def call(x, i):
-        # per-call key derived IN-GRAPH from the base key + call index
-        # (key_fold; an eager fold_in is 1-2 tunnel dispatches), result
-        # delivered as the packed 24-bit PCM rows + lengths — the exact
-        # frames write_wav/serving emit, i.e. the complete deliverable
-        # (raw_pcm24 skips the ~1.6 ms host f32 unpack).
-        out = pipeline.synthesise_batch(
-            x, np.asarray([x.shape[-1]], np.int32), key,
-            n_timesteps=N_STEPS, temperature=TEMPERATURE,
-            length_scale=LENGTH_SCALE, fixed_y_bucket="auto",
-            key_fold=1000 + i, raw_pcm24=True,
-        )
-        # the single packed sync already delivered the samples host-side
-        assert out["pcm24_bytes_host"] is not None
-        return out
+    # The calibration ratio is a RUNNING MAX shared across sentences, so a
+    # later sentence can raise it and shift an earlier sentence's auto
+    # bucket — sweep all sentences repeatedly until a full pass changes no
+    # bucket (mel lengths are duration-deterministic, so the final ratio is
+    # reached after one pass and pass 2 warms any escalated bucket).
+    buckets = {name: {"bucket": None} for name in sentences}
+    for sweep in range(4):  # stabilises after <=2 full passes
+        changed = False
+        for name, x in sentences.items():
+            out = _call_auto(pipeline, x, key, 10 * sweep)
+            b = int(out["mel"].shape[-1])
+            ml = int(out["mel_lengths_host"][0])
+            assert ml < b, "auto bucket must not truncate"
+            if b != buckets[name]["bucket"]:
+                changed = True
+                print(f"# warmed fused graph: {name} bucket={b}", flush=True)
+            buckets[name] = {"bucket": b, "mel_frames": ml}
+        if not changed:
+            break
 
+    # trivial-RTT probe graph
+    tiny = jax.jit(lambda a: a + 1.0)
+    float(tiny(jnp.float32(0)))
+
+    # payload probe graph: a buffer the size of the typical packed result,
+    # split into the same <=72 KB fetch parts the pipeline ships
+    typ_bucket = buckets["typical"]["bucket"]
+    n_bytes = (typ_bucket * HOP + 1) * 3  # pcm24 rows the fused graph ships
+    k = _n_fetch_parts(n_bytes)
+    buf_fn = jax.jit(
+        lambda s: _split_parts(jnp.full((1, n_bytes), s, jnp.uint8), k))
+    _fetch_parts_host(buf_fn(jnp.uint8(0)))
+    return {"buckets": buckets, "tiny": tiny, "buf_fn": buf_fn, "k": k,
+            "payload_bytes": n_bytes}
+
+
+def probe_sentence(pipeline, x, key, n_calls: int = 30):
+    """Timed per-call latency through the fused auto graph (warm)."""
+    times = []
+    for i in range(n_calls):
+        t0 = time.perf_counter()
+        out = _call_auto(pipeline, x, key, 2 + i)  # distinct fold per call
+        times.append((time.perf_counter() - t0) * 1e3)
+    # delivered-bytes validity check (outside the timed region: byte
+    # consumers never decode — write_wav/serve pass the frames through)
     from matcha_tpu.cli import _unpack_pcm24
 
-    result = {}
-    for name, x in sentences.items():
-        call(x, 0)  # largest bucket (uncalibrated) / calibration update
-        out = call(x, 1)  # calibrated tight-bucket compile
-        bucket = int(out["mel"].shape[-1])
-        ml = int(out["mel_lengths_host"][0])
-        assert ml < bucket, "auto bucket must not truncate"
-        times = []
-        for i in range(n_calls):
-            t0 = time.perf_counter()
-            out = call(x, 2 + i)  # distinct fold per call (identical calls dedupe)
-            times.append((time.perf_counter() - t0) * 1e3)
-        # delivered-bytes validity check (outside the timed region: byte
-        # consumers never decode — write_wav/serve pass the frames through)
-        wav, _ = _unpack_pcm24(out["pcm24_bytes_host"])
-        assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
-        result[name] = {
-            "p50": float(np.percentile(times, 50)),
-            "p90": float(np.percentile(times, 90)),
-            "histogram_ms": {f"p{p}": round(float(np.percentile(times, p)), 2)
-                             for p in (10, 25, 50, 75, 90, 99)},
-            "auto_bucket": bucket,
-            "audio_seconds": round(ml * HOP / SR, 2),
-        }
+    wav, _ = _unpack_pcm24(out["pcm24_bytes_host"])
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+    ml = int(out["mel_lengths_host"][0])
+    return {
+        "p50": float(np.percentile(times, 50)),
+        "p90": float(np.percentile(times, 90)),
+        "histogram_ms": {f"p{p}": round(float(np.percentile(times, p)), 2)
+                         for p in (10, 25, 50, 75, 90, 99)},
+        "auto_bucket": int(out["mel"].shape[-1]),
+        "audio_seconds": round(ml * HOP / SR, 2),
+    }
 
-    # Tunnel floor: dispatch + scalar fetch of a trivial jitted op. The
-    # difference p50 - floor approximates on-device + runtime time.
-    tiny = jax.jit(lambda a: a + 1.0)
-    float(tiny(jnp.float32(0)))  # compile
+
+def probe_rtt(tiny, n_calls: int = 30):
+    """Tunnel floor: dispatch + scalar fetch of a trivial jitted op. The
+    difference p50 - floor approximates on-device + runtime time."""
+    import jax.numpy as jnp
+
     rtts = []
     for i in range(n_calls):
         t0 = time.perf_counter()
         float(tiny(jnp.float32(i)))  # varied input (identical calls dedupe)
         rtts.append((time.perf_counter() - t0) * 1e3)
-    rtt50 = float(np.percentile(rtts, 50))
-    result["tunnel_rtt_ms_p50"] = round(rtt50, 2)
+    return round(float(np.percentile(rtts, 50)), 2)
 
-    # Payload-rate probe: fetch a buffer the size of the typical packed
-    # result THE WAY THE PIPELINE DOES — split into <=72 KB parts pulled
-    # over concurrent streams (cli._fetch_parts_host; each stream rides
-    # the tunnel's flat <=128 KB region and they overlap). The trivial-RTT
-    # probe can't see per-MB transfer-rate degradation (tunnel weather
-    # moves it hour to hour), so without this a slow hour reads as
-    # "device got slower". device ~= p50 - payload fetch (the payload
-    # probe itself includes one RTT). A serial single-stream fetch of the
-    # same bytes is also recorded so the stream win stays visible.
-    from matcha_tpu.cli import _fetch_parts_host, _n_fetch_parts, _split_parts
 
-    typ_bucket = result["typical"]["auto_bucket"]
-    n_bytes = (typ_bucket * HOP + 1) * 3  # pcm24 rows the fused graph ships
-    k = _n_fetch_parts(n_bytes)
-    buf_fn = jax.jit(
-        lambda s: _split_parts(jnp.full((1, n_bytes), s, jnp.uint8), k))
-    _fetch_parts_host(buf_fn(jnp.uint8(0)))  # compile
+def probe_payload(buf_fn, k, n_calls: int = 30):
+    """Payload-rate probe: fetch a buffer the size of the typical packed
+    result THE WAY THE PIPELINE DOES — split into <=72 KB parts pulled
+    over concurrent streams (cli._fetch_parts_host; each stream rides
+    the tunnel's flat <=128 KB region and they overlap). The trivial-RTT
+    probe can't see per-MB transfer-rate degradation (tunnel weather
+    moves it hour to hour), so without this a slow hour reads as
+    "device got slower". device ~= p50 - payload fetch (the payload
+    probe itself includes one RTT). A serial single-stream fetch of the
+    same bytes is also recorded so the stream win stays visible."""
+    import jax.numpy as jnp
+
+    from matcha_tpu.cli import _fetch_parts_host
+
     fetches, serial = [], []
     for i in range(n_calls):
         parts = buf_fn(jnp.uint8(i % 251))
@@ -244,87 +389,208 @@ def run_latency(pipeline, key, n_calls: int = 30):
         t0 = time.perf_counter()
         np.concatenate([np.asarray(p) for p in parts], axis=1)
         serial.append((time.perf_counter() - t0) * 1e3)
-    fetch50 = float(np.percentile(fetches, 50))
-    result["payload_fetch_ms_p50"] = round(fetch50, 2)
-    result["payload_fetch_serial_ms_p50"] = round(float(np.percentile(serial, 50)), 2)
-    result["payload_fetch_streams"] = k
-    result["payload_kb"] = round(n_bytes / 1024.0, 1)
-    for name in sentences:
-        result[name]["device_ms_p50_estimate"] = round(
-            result[name]["p50"] - fetch50, 2)
+    return (round(float(np.percentile(fetches, 50)), 2),
+            round(float(np.percentile(serial, 50)), 2))
 
-    # Pure device time of the typical fused graph: queue N dispatches
-    # back-to-back (fixed int bucket — no per-call host sync; the same
-    # compiled graph 'auto' settled on) and force with ONE fetch. This is
-    # what the chip does per call independent of the tunnel hour: on a
-    # locally-attached TPU the e2e call is ~this plus PCIe-scale
-    # transfers, so it is the number that carries the <=50 ms target to
-    # real deployments even when the link inflates e2e here.
-    x_t = sentences["typical"]
-    xl_t = np.asarray([x_t.shape[-1]], np.int32)
-    bkt = result["typical"]["auto_bucket"]
 
-    def call_fixed(i):
-        return pipeline.synthesise_batch(
-            x_t, xl_t, key, key_fold=5000 + i,
-            n_timesteps=N_STEPS, temperature=TEMPERATURE,
-            length_scale=LENGTH_SCALE, fixed_y_bucket=bkt)
+def _call_fixed(pipeline, x, key, bkt, i):
+    """Dispatch-only fused call at a fixed integer bucket (same compiled
+    graph the auto mode settled on — no per-call host sync)."""
+    return pipeline.synthesise_batch(
+        x, np.asarray([x.shape[-1]], np.int32), key, key_fold=5000 + i,
+        n_timesteps=N_STEPS, temperature=TEMPERATURE,
+        length_scale=LENGTH_SCALE, fixed_y_bucket=bkt)
 
+
+def probe_queued(pipeline, x, key, bkt, payload_fetch_ms: float, n_q: int = 10):
+    """Pure device time of the typical fused graph: queue N dispatches
+    back-to-back (fixed int bucket — no per-call host sync) and force
+    with ONE fetch. This is what the chip does per call independent of
+    the tunnel hour: on a locally-attached TPU the e2e call is ~this plus
+    PCIe-scale transfers, so it is the number that carries the <=50 ms
+    target to real deployments even when the link inflates e2e here."""
     from matcha_tpu.cli import fetch_fused_host
 
-    fetch_fused_host(call_fixed(0))
-    n_q = 10
     t0 = time.perf_counter()
-    outs = [call_fixed(1 + i) for i in range(n_q)]
+    outs = [_call_fixed(pipeline, x, key, bkt, 1 + i) for i in range(n_q)]
     fetch_fused_host(outs[-1])
     queued = (time.perf_counter() - t0) * 1e3
     # one payload fetch forces the chain; amortize the rest over the calls
-    result["typical"]["fused_device_ms_queued"] = round(
-        max(0.0, queued - fetch50) / n_q, 2)
-    return result
+    return round(max(0.0, queued - payload_fetch_ms) / n_q, 2)
+
+
+def probe_pipelined(pipeline, x, key, bkt, n_calls: int = 30):
+    """Double-buffered steady-state latency: keep TWO fused calls in
+    flight — dispatch call N+1 before fetching call N — and measure the
+    inter-completion interval. If device exec overlaps dispatch/transfer,
+    this beats the unloaded per-call number; if the tunnel serialises it
+    (like prior pipelining A/Bs), the negative result is the evidence
+    that the unloaded latency is a structural floor."""
+    from matcha_tpu.cli import fetch_fused_host
+
+    prev = _call_fixed(pipeline, x, key, bkt, 100)
+    intervals = []
+    t_last = time.perf_counter()
+    for i in range(1, n_calls + 1):
+        cur = _call_fixed(pipeline, x, key, bkt, 100 + i)  # dispatch N+1
+        fetch_fused_host(prev)                             # complete N
+        now = time.perf_counter()
+        intervals.append((now - t_last) * 1e3)
+        t_last = now
+        prev = cur
+    fetch_fused_host(prev)
+    return {
+        "pipelined_steady_ms_p50": round(float(np.percentile(intervals, 50)), 2),
+        "pipelined_steady_ms_p90": round(float(np.percentile(intervals, 90)), 2),
+    }
 
 
 def main() -> None:
-    _wait_for_devices()
-    import jax
+    budget = Budget(BUDGET_S)
+    budget.install_signal_handlers()
+    _install_compile_counter()
 
-    pipeline = build_pipeline()
-    rng = np.random.default_rng(0)
-    utts = make_corpus(rng)
-    key = jax.random.PRNGKey(0)
-
-    # Warmup sweep: compiles every (x-bucket, y-bucket) pair the corpus
-    # hits, exactly as a warmed-up serving process would hold them.
-    print("# warmup sweep (compiles land here; cold cache = minutes/bucket "
-          "through the remote-compile tunnel)", flush=True)
-    run_batched(pipeline, utts, key, timed=False)
-
-    print("# timed corpus sweep", flush=True)
-    audio_seconds, wall = run_batched(pipeline, utts, jax.random.fold_in(key, 1), timed=True)
-    throughput = audio_seconds / wall
-
-    print("# latency probes", flush=True)
-    lat = run_latency(pipeline, key)
-
-    print(json.dumps({
+    record = {
         "metric": "serving_throughput_128utt_bucketed",
-        "value": round(float(throughput), 2),
+        "value": None,
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(float(throughput) / 200.0, 3),
-        "audio_seconds": round(audio_seconds, 1),
-        "wall_seconds": round(wall, 3),
-        "p50_single_sentence_latency_ms": round(lat["typical"]["p50"], 2),
-        "p90_single_sentence_latency_ms": round(lat["typical"]["p90"], 2),
-        "latency_typical": lat["typical"],
-        "latency_long_sentence": lat["long"],
-        "tunnel_rtt_ms_p50": lat["tunnel_rtt_ms_p50"],
-        "payload_fetch_ms_p50": lat["payload_fetch_ms_p50"],
-        "payload_fetch_serial_ms_p50": lat["payload_fetch_serial_ms_p50"],
-        "payload_fetch_streams": lat["payload_fetch_streams"],
-        "payload_kb": lat["payload_kb"],
+        "vs_baseline": None,
         "latency_target_ms": 50.0,
-        "protocol": "128-utt filelist, sorted B=8, staged corpus serving (one host sync), dynamic mel buckets + finer vocoder buckets, 10 Euler steps, full text->wav incl. vocoder+denoiser; latency via the AUTO-bucketed fused graph (fixed_y_bucket='auto', truncation-free, ONE packed host sync per call shipping device-quantized 24-bit PCM — the written-WAV encoding — over parallel <=72KB fetch streams), typical ~3.4s-audio sentence headline + long ~6.4s secondary",
-    }))
+        "protocol": (
+            "128-utt filelist, sorted B=8, staged corpus serving (one host "
+            "sync), dynamic mel buckets + finer vocoder buckets, 10 Euler "
+            "steps, full text->wav incl. vocoder+denoiser; latency via the "
+            "AUTO-bucketed fused graph (fixed_y_bucket='auto', truncation-"
+            "free, ONE packed host sync per call shipping device-quantized "
+            "24-bit PCM — the written-WAV encoding — over parallel <=72KB "
+            "fetch streams), typical ~3.4s-audio sentence headline + long "
+            "~6.4s secondary"),
+    }
+    errors = []
+    compile_counts = {}
+
+    def stage(name):
+        print(f"# {name} (t={budget.elapsed():.0f}s)", flush=True)
+
+    try:
+        _wait_for_devices()
+        import jax
+
+        pipeline = build_pipeline()
+        utts = make_corpus(np.random.default_rng(0))
+        key = jax.random.PRNGKey(0)
+
+        # Warmup sweep: compiles every (x-bucket, y-bucket) pair the corpus
+        # hits, exactly as a warmed-up serving process would hold them.
+        stage("warmup sweep (compiles land here; cold cache = minutes/bucket "
+              "through the remote-compile tunnel)")
+        _, _, max_ratio = run_batched(pipeline, utts, key)
+
+        stage("timed corpus sweep")
+        with count_compiles() as cc:
+            audio_seconds, wall, _ = run_batched(
+                pipeline, utts, jax.random.fold_in(key, 1))
+        compile_counts["timed_corpus"] = cc.count
+        throughput = audio_seconds / wall
+        record.update({
+            "value": round(float(throughput), 2),
+            "vs_baseline": round(float(throughput) / 200.0, 3),
+            "audio_seconds": round(audio_seconds, 1),
+            "wall_seconds": round(wall, 3),
+        })
+
+        # Seed the fused auto-bucket calibration from the corpus sweep's
+        # observed frames-per-token so the latency warmup skips the
+        # largest-bucket (2048) compile entirely. Same data a warmed
+        # serving process holds; the saturation-escalation path still
+        # guards correctness if the estimate is ever low.
+        pipeline._dur_ratio = max_ratio
+        sentences = make_sentences()
+
+        if budget.gate("latency_probes", 240):
+            stage("latency warmup (fused auto graphs + probe graphs)")
+            warm = warm_probes(pipeline, sentences, key)
+
+            stage("latency probes")
+            for name, x in sentences.items():
+                if not budget.gate(f"latency_{name}", 90):
+                    continue
+                try:
+                    with count_compiles() as cc:
+                        record[f"latency_{name}" if name != "typical"
+                               else "latency_typical"] = probe_sentence(
+                            pipeline, x, key)
+                    compile_counts[f"latency_{name}"] = cc.count
+                except Exception as e:  # noqa: BLE001 — record, keep going
+                    errors.append(f"latency_{name}: {type(e).__name__}: {e}")
+            if "latency_long" in record:  # key parity with earlier rounds
+                record["latency_long_sentence"] = record.pop("latency_long")
+            lt = record.get("latency_typical")
+            if lt:
+                record["p50_single_sentence_latency_ms"] = round(lt["p50"], 2)
+                record["p90_single_sentence_latency_ms"] = round(lt["p90"], 2)
+
+            probes = [
+                ("tunnel_rtt", 60,
+                 lambda: {"tunnel_rtt_ms_p50": probe_rtt(warm["tiny"])}),
+                ("payload_fetch", 90, lambda: dict(zip(
+                    ("payload_fetch_ms_p50", "payload_fetch_serial_ms_p50"),
+                    probe_payload(warm["buf_fn"], warm["k"])),
+                    payload_fetch_streams=warm["k"],
+                    payload_kb=round(warm["payload_bytes"] / 1024.0, 1))),
+            ]
+            for pname, need, fn in probes:
+                if not budget.gate(pname, need):
+                    continue
+                try:
+                    with count_compiles() as cc:
+                        record.update(fn())
+                    compile_counts[pname] = cc.count
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"{pname}: {type(e).__name__}: {e}")
+
+            fetch50 = record.get("payload_fetch_ms_p50")
+            if lt and fetch50 is not None:
+                for k2 in ("latency_typical", "latency_long_sentence"):
+                    if k2 in record:
+                        record[k2]["device_ms_p50_estimate"] = round(
+                            record[k2]["p50"] - fetch50, 2)
+
+            x_t = sentences["typical"]
+            bkt = warm["buckets"]["typical"]["bucket"]
+            tail_probes = [
+                ("fused_device_queued", 90, lambda: {
+                    "fused_device_ms_queued": probe_queued(
+                        pipeline, x_t, key, bkt, fetch50 or 0.0)}),
+                ("pipelined_latency", 90,
+                 lambda: probe_pipelined(pipeline, x_t, key, bkt)),
+            ]
+            for pname, need, fn in tail_probes:
+                if not budget.gate(pname, need):
+                    continue
+                try:
+                    with count_compiles() as cc:
+                        out = fn()
+                    compile_counts[pname] = cc.count
+                    if "fused_device_ms_queued" in out and lt:
+                        record["latency_typical"]["fused_device_ms_queued"] = \
+                            out.pop("fused_device_ms_queued")
+                    record.update(out)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"{pname}: {type(e).__name__}: {e}")
+    except BudgetExceeded as e:
+        errors.append(f"budget: {e}")
+    except Exception as e:  # noqa: BLE001 — partial record over no record
+        errors.append(f"{type(e).__name__}: {e}")
+    finally:
+        signal.alarm(0)
+        if budget.skipped:
+            record["skipped"] = budget.skipped
+        if errors:
+            record["errors"] = errors
+        record["compile_events"] = compile_counts
+        record["bench_wall_s"] = round(budget.elapsed(), 1)
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
