@@ -176,6 +176,32 @@ def fetch_fused_host(out):
     return np.asarray(out["waveform"]), np.asarray(out["mel_lengths"])
 
 
+def synth_fetch_guarded(pipeline, x, x_lengths, key, *, fixed_y_bucket=0, **kw):
+    """``synthesise_batch`` + host fetch, with the integer fixed-bucket
+    saturation guard. An int ``--fixed-y-bucket`` dispatches with no host
+    sync (serve's pipelined contract), so nothing inside the pipeline can
+    check for clipping — the CLI checks the fetched lengths here and, on
+    saturation, warns and re-runs through the length-general dynamic path
+    (mirroring serve.py's fallback). ``"auto"`` self-escalates inside
+    ``synthesise_batch`` including the top-bucket dynamic fallback, so it
+    passes straight through.
+
+    Returns ``(out, waveforms, mel_lengths)`` host-side."""
+    out = pipeline.synthesise_batch(x, x_lengths, key,
+                                    fixed_y_bucket=fixed_y_bucket, **kw)
+    wavs, mls = fetch_fused_host(out)
+    if (fixed_y_bucket and fixed_y_bucket != "auto"
+            and int(np.max(mls)) >= int(fixed_y_bucket)):
+        warnings.warn(
+            f"[-] --fixed-y-bucket {fixed_y_bucket} saturated (predicted mel "
+            f"length >= bucket); re-running through the dynamic path so the "
+            f"written audio is full-length. Pick a larger bucket, 'auto', "
+            f"or --long-form to avoid the retry.", UserWarning)
+        out = pipeline.synthesise_batch(x, x_lengths, key, **kw)
+        wavs, mls = fetch_fused_host(out)
+    return out, wavs, mls
+
+
 def process_text(i: int, text: str, cleaner: str = "english_cleaners2"):
     print(f"[{i}] - Input text: {text}")
     seq = intersperse(text_to_sequence(text, [cleaner]), 0)
@@ -615,9 +641,10 @@ class TTSPipeline:
         callers pay no extra transfer). Otherwise it is encode -> host
         bucket pick -> decode -> vocode with per-bucket jit caches.
 
-        ``key_fold`` (fused path): derive the per-call key as
-        ``fold_in(key, key_fold)`` INSIDE the fused graph — an eager
-        fold_in costs 1-2 device dispatches per call on the latency path.
+        ``key_fold``: derive the per-call key as ``fold_in(key, key_fold)``
+        on EVERY path — inside the fused graph when one runs (an eager
+        fold_in costs 1-2 device dispatches per call on the latency path),
+        as an eager fold_in on the dynamic path.
 
         ``raw_pcm24`` (fused auto path, pcm24 wire): deliver the packed
         24-bit PCM rows (``out["pcm24_bytes_host"]``, trailing length
@@ -689,7 +716,32 @@ class TTSPipeline:
                 if not saturated and valid.any():
                     obs = float(np.max(ml[valid] / (x_lengths_host[valid] * length_scale)))
                     self._dur_ratio = max(self._dur_ratio or 0.0, obs)
-                if not saturated or T_y >= self.FUSED_Y_BUCKETS[-1]:
+                if not saturated:
+                    return out
+                if T_y >= self.FUSED_Y_BUCKETS[-1]:
+                    # Even the top fused bucket saturated: silently clipped
+                    # audio is never acceptable — warn and re-run through
+                    # the DYNAMIC bucketed path, which is length-general
+                    # (pick_bucket rounds past the table). Costs one fresh
+                    # compile for an utterance this long; correctness over
+                    # latency, mirroring serve.py's saturation fallback.
+                    warnings.warn(
+                        f"[-] Utterance saturated the largest fused mel "
+                        f"bucket ({T_y} frames); falling back to the "
+                        f"dynamic path for full-length audio. Consider "
+                        f"--long-form for very long inputs.", UserWarning)
+                    out = self.synthesise_batch(
+                        x, x_lengths_host, key, n_timesteps=n_timesteps,
+                        temperature=temperature, length_scale=length_scale,
+                        spks=spks, pack_wav=raw_pcm24, key_fold=key_fold)
+                    if raw_pcm24:  # keep the byte-delivery contract
+                        packed = (_fetch_parts_host(out["wav_pcm24_parts"])
+                                  if "wav_pcm24_parts" in out
+                                  else np.asarray(out["wav_pcm24"]))
+                        out["pcm24_bytes_host"] = packed
+                        out["mel_lengths_host"] = _pcm24_lengths(packed)
+                    else:
+                        out["mel_lengths_host"] = np.asarray(out["mel_lengths"])
                     return out
                 # truncated: escalate to the next bucket with 2x headroom
                 T_y = next((b for b in self.FUSED_Y_BUCKETS if b >= 2 * T_y),
@@ -981,13 +1033,12 @@ def long_form_synthesis(args, pipeline: TTSPipeline, text: str, spk):
     start_t = dt.datetime.now()
     for ci, chunk in enumerate(chunks):
         tp = process_text(ci, chunk, pipeline.cleaner)
-        out = pipeline.synthesise_batch(
-            tp["x"], tp["x_lengths"], jax.random.PRNGKey(args.seed + ci),
+        out, wavs_h, mls_h = synth_fetch_guarded(
+            pipeline, tp["x"], tp["x_lengths"], jax.random.PRNGKey(args.seed + ci),
             n_timesteps=args.steps, temperature=args.temperature,
             length_scale=args.speaking_rate, spks=spk,
             fixed_y_bucket=args.fixed_y_bucket,
         )
-        wavs_h, mls_h = fetch_fused_host(out)
         ml = int(mls_h[0])
         wavs.append(np.asarray(wavs_h[0])[: ml * 256])
         mels.append(np.asarray(out["mel"][0])[:, :ml])
@@ -1013,14 +1064,13 @@ def unbatched_synthesis(args, pipeline: TTSPipeline, texts, spk):
 
         key = jax.random.PRNGKey(args.seed + i)
         start_t = dt.datetime.now()
-        out = pipeline.synthesise_batch(
-            tp["x"], tp["x_lengths"], key,
+        # ONE packed fetch (auto mode pre-fetched host copies in its sync)
+        out, wavs_h, mls_h = synth_fetch_guarded(
+            pipeline, tp["x"], tp["x_lengths"], key,
             n_timesteps=args.steps, temperature=args.temperature,
             length_scale=args.speaking_rate, spks=spk,
             fixed_y_bucket=args.fixed_y_bucket,
         )
-        # ONE packed fetch (auto mode pre-fetched host copies in its sync)
-        wavs_h, mls_h = fetch_fused_host(out)
         ml = int(mls_h[0])
         wav = np.asarray(wavs_h[0])[: ml * 256]
         t = (dt.datetime.now() - start_t).total_seconds()
@@ -1090,12 +1140,11 @@ def batched_synthesis(args, pipeline: TTSPipeline, texts, spk):
 
         key = jax.random.PRNGKey(args.seed + bi)
         start_t = dt.datetime.now()
-        out = pipeline.synthesise_batch(
-            x, x_lengths, key, n_timesteps=args.steps,
+        out, wavs, mls_h = synth_fetch_guarded(
+            pipeline, x, x_lengths, key, n_timesteps=args.steps,
             temperature=args.temperature, length_scale=args.speaking_rate, spks=spks,
             fixed_y_bucket=args.fixed_y_bucket,
         )
-        wavs, mls_h = fetch_fused_host(out)
         wavs = np.asarray(wavs)
         t = (dt.datetime.now() - start_t).total_seconds()
         n_samples = int(np.sum(mls_h)) * 256
