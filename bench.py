@@ -221,16 +221,11 @@ def run_batched(pipeline, utts, key):
     path pays ~2 blocking ~28 ms host round trips per batch through the
     remote-attached chip; the staged path pays one total.
 
-    Returns (audio_seconds, wall_seconds, max frames-per-token ratio).
-    The ratio seeds the fused auto-bucket calibration
-    (``pipeline._dur_ratio``) so the latency probes' first auto call picks
-    the tight bucket directly instead of compiling the largest
-    (2048-frame) graph — the compile that blew round 4's driver budget.
+    Returns (audio_seconds, wall_seconds).
     """
     import jax.numpy as jnp
 
     audio_seconds = 0.0
-    max_ratio = 0.0
     acc = jnp.float32(0)
     t0 = time.perf_counter()
     for chunk, out in pipeline.synthesise_corpus(
@@ -242,15 +237,41 @@ def run_batched(pipeline, utts, key):
         # the split path is an extra eager dispatch)
         fs = out.get("first_sample")
         acc = acc + (fs if fs is not None else out["waveform"][0, 0])
-        ml = out["mel_lengths_host"]
-        audio_seconds += float(ml.sum()) * HOP / SR
-        toks = np.asarray([len(utts[i]) for i in chunk], np.float64)
-        max_ratio = max(max_ratio, float((ml / (toks * LENGTH_SCALE)).max()))
+        audio_seconds += float(out["mel_lengths_host"].sum()) * HOP / SR
     # Force the whole chain: block_until_ready() can return before the
     # tunnel-attached device finishes — only a data fetch is honest.
     float(acc)
     wall = time.perf_counter() - t0
-    return audio_seconds, wall, max_ratio
+    return audio_seconds, wall
+
+
+def calibrate_probe_ratio(pipeline, sentences, key):
+    """Seed the fused auto-bucket calibration from the latency sentences'
+    OWN predicted mel lengths, via the cheap encode stage (its (T_x,
+    length_scale) graphs are already warm from the corpus sweep; one tiny
+    host sync each). This keeps the first auto call off the largest
+    (2048-frame) bucket — the cold compile that blew round 4's driver
+    budget — while picking the same tight bucket per-sentence calibration
+    would. (Seeding from the CORPUS ratio instead was measured to
+    over-size the buckets badly: the max frames-per-token over 128 random
+    utterances is ~2x a typical sentence's own ratio, which inflated the
+    typical bucket 384 -> 768 and p50 by ~10 ms.)
+    """
+    import jax.numpy as jnp
+
+    from matcha_tpu.cli import X_BUCKETS, pick_bucket
+
+    ratio = 0.0
+    for x in sentences.values():
+        n = x.shape[-1]
+        T_x = pick_bucket(n, X_BUCKETS)
+        x_pad = np.zeros((1, T_x), np.int32)
+        x_pad[:, :n] = x
+        _, _, y_lengths = pipeline._encode_fn(T_x, LENGTH_SCALE)(
+            pipeline.params, jnp.asarray(x_pad),
+            jnp.asarray([n], jnp.int32), None)
+        ratio = max(ratio, float(y_lengths[0]) / (n * LENGTH_SCALE))
+    pipeline._dur_ratio = ratio
 
 
 # ---------------------------------------------------------------------------
@@ -484,11 +505,11 @@ def main() -> None:
         # hits, exactly as a warmed-up serving process would hold them.
         stage("warmup sweep (compiles land here; cold cache = minutes/bucket "
               "through the remote-compile tunnel)")
-        _, _, max_ratio = run_batched(pipeline, utts, key)
+        run_batched(pipeline, utts, key)
 
         stage("timed corpus sweep")
         with count_compiles() as cc:
-            audio_seconds, wall, _ = run_batched(
+            audio_seconds, wall = run_batched(
                 pipeline, utts, jax.random.fold_in(key, 1))
         compile_counts["timed_corpus"] = cc.count
         throughput = audio_seconds / wall
@@ -499,13 +520,12 @@ def main() -> None:
             "wall_seconds": round(wall, 3),
         })
 
-        # Seed the fused auto-bucket calibration from the corpus sweep's
-        # observed frames-per-token so the latency warmup skips the
-        # largest-bucket (2048) compile entirely. Same data a warmed
-        # serving process holds; the saturation-escalation path still
-        # guards correctness if the estimate is ever low.
-        pipeline._dur_ratio = max_ratio
         sentences = make_sentences()
+        # Seed the fused auto-bucket calibration from the sentences' own
+        # predicted lengths so the latency warmup skips the largest-bucket
+        # (2048) compile entirely; the saturation-escalation path still
+        # guards correctness if the estimate is ever low.
+        calibrate_probe_ratio(pipeline, sentences, key)
 
         if budget.gate("latency_probes", 240):
             stage("latency warmup (fused auto graphs + probe graphs)")

@@ -55,9 +55,11 @@ def make_corpus(root: str, n: int = 12):
         # The spectral content must VARY OVER TIME (a melody of distinct
         # tone segments, like phones in speech): a constant carrier makes
         # every frame look alike, the MAS path is then arbitrary, and the
-        # duration targets it induces shift every epoch — an unlearnable
-        # moving target (measured: dur loss plateaus ~0.42 on constant
-        # tones vs converging on melodic ones).
+        # duration targets it induces shift every epoch. What the melodic
+        # corpus measurably buys is a STABLE MAS path (committed artifact:
+        # alignment_monotone_fraction 1.0 across probes); the dur loss
+        # itself still plateaus ~0.4 at 3k steps either way
+        # (logs/overfit_evidence/summary.json: dur_final 0.396, eval 0.43).
         dur = 2.0 + 0.25 * (i % 6)
         t = np.arange(int(SR * dur)) / SR
         seg_rng = np.random.default_rng(100 + i)

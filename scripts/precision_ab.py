@@ -97,8 +97,9 @@ def main():
 
     # smoothed divergence: compare 25-step moving averages (pointwise the
     # trajectories legitimately decorrelate — different rounding -> different
-    # MAS paths after a few hundred steps)
-    k = 25
+    # MAS paths after a few hundred steps). Clamp the window for short runs
+    # so a 'valid' convolution never yields an empty array.
+    k = max(1, min(25, len(h32), len(hbf)))
     sm = lambda h: np.convolve(h[:, 1], np.ones(k) / k, mode="valid")  # noqa: E731
     s32, sbf = sm(h32), sm(hbf)
     rel = np.abs(s32 - sbf) / np.maximum(np.abs(s32), 1e-6)

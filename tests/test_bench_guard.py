@@ -105,17 +105,21 @@ def test_timed_regions_are_compile_free(tiny_pipeline):
     key = jax.random.PRNGKey(0)
 
     # warmup sweep (compiles land here), then the timed sweep must not
-    _, _, max_ratio = bench.run_batched(pipeline, utts, key)
+    bench.run_batched(pipeline, utts, key)
     with bench.count_compiles() as cc:
-        audio_s, wall, _ = bench.run_batched(
+        audio_s, wall = bench.run_batched(
             pipeline, utts, jax.random.fold_in(key, 1))
     assert cc.count == 0, "timed corpus sweep compiled after warmup"
     assert audio_s > 0 and wall > 0
 
     # latency probes: warm first, then every probe region pins zero
-    pipeline._dur_ratio = max_ratio
     sentences = {"typical": rng.integers(1, 178, (1, 10)).astype(np.int32),
                  "long": rng.integers(1, 178, (1, 18)).astype(np.int32)}
+    bench.calibrate_probe_ratio(pipeline, sentences, key)
+    # the seed keeps the first auto call off the largest bucket
+    assert pipeline._dur_ratio is not None
+    assert (pipeline._auto_y_bucket(10, bench.LENGTH_SCALE)
+            < pipeline.FUSED_Y_BUCKETS[-1])
     warm = bench.warm_probes(pipeline, sentences, key)
 
     for name, x in sentences.items():

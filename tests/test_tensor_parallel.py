@@ -141,13 +141,17 @@ def test_tp_model2_matches_model1_at_flagship_dims(flagship_params):
         return state, {k: float(v) for k, v in metrics.items()}
 
     state1, m1 = one_step(1)
-    state2, m2 = one_step(2)
-    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
-    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=2e-5)
-    for k in m1:
-        np.testing.assert_allclose(m2[k], m1[k], rtol=1e-3, err_msg=k)
-    # updated params agree leaf-for-leaf (the psum placement is exact)
     flat1 = dict(_flat_paths(jax.device_get(state1.params)["params"]))
-    flat2 = dict(_flat_paths(jax.device_get(state2.params)["params"]))
-    worst = max(np.max(np.abs(flat1[k] - flat2[k])) for k in flat1)
-    assert worst < 5e-5, f"model=2 diverges from model=1 by {worst}"
+    # model=2 (4x2 mesh) and model=4 (2x4 mesh — VERDICT r4 item 8: the
+    # mesh-generality claim needs a TP degree beyond 2) must both agree
+    # with the pure-DP 8x1 run.
+    for n_model in (2, 4):
+        state_n, m_n = one_step(n_model)
+        assert np.isfinite(m1["loss"]) and np.isfinite(m_n["loss"])
+        np.testing.assert_allclose(m_n["loss"], m1["loss"], rtol=2e-5)
+        for k in m1:
+            np.testing.assert_allclose(m_n[k], m1[k], rtol=1e-3, err_msg=k)
+        # updated params agree leaf-for-leaf (the psum placement is exact)
+        flat_n = dict(_flat_paths(jax.device_get(state_n.params)["params"]))
+        worst = max(np.max(np.abs(flat1[k] - flat_n[k])) for k in flat1)
+        assert worst < 5e-5, f"model={n_model} diverges from model=1 by {worst}"

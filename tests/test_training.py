@@ -143,9 +143,15 @@ def test_datamodule_worker_scaling(tmp_path):
             f_max=8000, data_statistics={"mel_mean": -5.5, "mel_std": 2.1},
             seed=1, num_workers=num_workers)
         list(dm.train_batches(0))  # warm (phoneme cache, imports)
-        t0 = time.perf_counter()
-        n = sum(1 for _ in dm.train_batches(0))
-        return n, time.perf_counter() - t0
+        # best of 3 timed repetitions: a loaded/shared CI host can stall
+        # any single run; the MIN is the capability being asserted
+        n = t = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = sum(1 for _ in dm.train_batches(0))
+            dt = time.perf_counter() - t0
+            t = dt if t is None else min(t, dt)
+        return n, t
 
     n_serial, t_serial = run(0)
     n_par, t_par = run(4)
