@@ -6,11 +6,11 @@ help:	## Show this help
 native:	## Build the C++/OpenMP MAS host kernel
 	g++ -O3 -fopenmp -shared -fPIC native/mas/mas.cpp -o native/mas/libmas.so
 
-test:	## Run fast tests
-	python -m pytest tests/ -q -m "not slow"
+test:	## Run fast tests (recorded budget: <=6 min warm cache; see TODO.md)
+	time python -m pytest tests/ -q -m "not slow"
 
-test-full:	## Run all tests
-	python -m pytest tests/ -q
+test-full:	## Run all tests (recorded budget: <=25 min warm cache; see TODO.md)
+	time python -m pytest tests/ -q
 
 train-ljspeech:	## Train on LJ Speech
 	python -m matcha_tpu.train experiment=ljspeech run_name=ljspeech

@@ -45,3 +45,39 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
+
+
+# ---------------------------------------------------------------------------
+# Per-test wall-clock guard (VERDICT r4 item 6): the slow tier is the only
+# evidence for the multi-process/TP/e2e claims, and an unbounded suite lets
+# a hang masquerade as "slow". pytest-timeout is not installed in this
+# image, so a SIGALRM guard (main-thread, Linux) bounds each test call:
+# 300 s for the fast tier, 1800 s for @slow (worst warm-cache slow test is
+# ~270 s; cold-cache CPU compiles need the headroom). Override via
+# MATCHA_TEST_TIMEOUT_FAST / MATCHA_TEST_TIMEOUT_SLOW; 0 disables.
+# Recorded suite budgets live in TODO.md ("make test-full" section).
+# ---------------------------------------------------------------------------
+import signal  # noqa: E402
+
+_TIMEOUT_FAST = int(os.environ.get("MATCHA_TEST_TIMEOUT_FAST", "300"))
+_TIMEOUT_SLOW = int(os.environ.get("MATCHA_TEST_TIMEOUT_SLOW", "1800"))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    timeout = _TIMEOUT_SLOW if item.get_closest_marker("slow") else _TIMEOUT_FAST
+    if timeout <= 0:
+        return (yield)
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded its {timeout}s wall-clock budget "
+            f"(per-test guard; raise MATCHA_TEST_TIMEOUT_* if legitimate)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

@@ -242,3 +242,21 @@ def test_live_espeak_output_stays_in_symbol_table():
     unknown = [c for c in out if c not in set(symbols)]
     assert not unknown, f"espeak emitted symbols outside the table: {unknown}"
     assert sequence_to_text(cleaned_text_to_sequence(out)) == out
+
+
+@pytest.mark.parametrize("raw,backend_in,ipa",
+                         ESPEAK_GOLDEN, ids=[g[0][:24] for g in ESPEAK_GOLDEN])
+def test_english_cleaners2_golden_live(raw, backend_in, ipa):
+    """The SAME golden fixtures, un-mocked (VERDICT r4 item 5): the moment
+    phonemizer/espeak-ng appear in the image, the recorded contract is
+    validated against the live backend — skipped until then. An exact-IPA
+    mismatch here with a different espeak-ng version means the recorded
+    goldens must be re-recorded against the deployment's espeak, not that
+    the pipeline broke: check backend_in (the pre-G2P text, version-
+    independent) first."""
+    if not _phonemizer_available():
+        pytest.skip("phonemizer/espeak-ng not installed")
+    cleaned = english_cleaners2(raw)
+    assert cleaned == collapse_whitespace(ipa)
+    assert text_to_sequence(raw, ["english_cleaners2"]) == \
+        cleaned_text_to_sequence(collapse_whitespace(ipa))
