@@ -71,7 +71,12 @@ def main():
     model = MatchaTTS(**cfg)
     b0 = batches[0]
 
-    def run(precision):
+    def run(precision, base_key=7):
+        """One leg: identical init; ``base_key`` seeds the per-step
+        stochasticity (CFM t, noise z, dropout). The f32 control leg
+        (same precision, different base_key) measures pure trajectory
+        decorrelation — the baseline any bf16-vs-f32 gap must exceed to
+        count as a precision effect rather than run-to-run noise."""
         params = model.init({"params": jax.random.PRNGKey(0)},
                             b0["x"], b0["x_lengths"], b0["y"], b0["y_lengths"],
                             jax.random.PRNGKey(1))
@@ -80,7 +85,7 @@ def main():
         state = TrainState(step=jnp.asarray(0), params=params,
                            opt_state=tx.init(params))
         step = make_train_step(model, tx, precision=precision)
-        key = jax.random.PRNGKey(7)
+        key = jax.random.PRNGKey(base_key)
         hist = []
         t0 = time.time()
         for i in range(n_steps):
@@ -88,34 +93,41 @@ def main():
             hist.append((i + 1, float(m["loss"]), float(m["dur_loss"]),
                          float(m["diff_loss"]), float(m["prior_loss"])))
         wall = time.time() - t0
-        print(f"[{precision}] {n_steps} steps in {wall:.1f}s "
+        print(f"[{precision}/key{base_key}] {n_steps} steps in {wall:.1f}s "
               f"final loss {hist[-1][1]:.4f}", flush=True)
         return np.asarray(hist), wall
 
     h32, w32 = run("f32")
     hbf, wbf = run("bf16-mixed")
+    hctl, wctl = run("f32", base_key=99)  # decorrelation control
 
     # smoothed divergence: compare 25-step moving averages (pointwise the
     # trajectories legitimately decorrelate — different rounding -> different
     # MAS paths after a few hundred steps). Clamp the window for short runs
     # so a 'valid' convolution never yields an empty array.
-    k = max(1, min(25, len(h32), len(hbf)))
+    k = max(1, min(25, len(h32), len(hbf), len(hctl)))
     sm = lambda h: np.convolve(h[:, 1], np.ones(k) / k, mode="valid")  # noqa: E731
-    s32, sbf = sm(h32), sm(hbf)
+    s32, sbf, sctl = sm(h32), sm(hbf), sm(hctl)
     rel = np.abs(s32 - sbf) / np.maximum(np.abs(s32), 1e-6)
+    rel_ctl = np.abs(s32 - sctl) / np.maximum(np.abs(s32), 1e-6)
 
     fig, axes = plt.subplots(1, 2, figsize=(12, 4))
-    for h, name in ((h32, "f32"), (hbf, "bf16-mixed")):
+    for h, name in ((h32, "f32"), (hbf, "bf16-mixed"),
+                    (hctl, "f32 (control seed)")):
         axes[0].plot(h[:, 0], h[:, 1], label=name, alpha=0.8)
     axes[0].set_yscale("log")
     axes[0].set_xlabel("step")
     axes[0].set_ylabel("total loss (log)")
     axes[0].legend()
     axes[0].set_title("total loss")
-    axes[1].plot(np.arange(rel.size) + k, 100 * rel)
+    axes[1].plot(np.arange(rel.size) + k, 100 * rel, label="bf16 vs f32")
+    axes[1].plot(np.arange(rel_ctl.size) + k, 100 * rel_ctl,
+                 label="f32 seed2 vs f32 (decorrelation baseline)")
     axes[1].set_xlabel("step")
-    axes[1].set_ylabel("|smoothed f32 - bf16| / f32  [%]")
-    axes[1].set_title(f"smoothed divergence (max {100 * rel.max():.2f}%)")
+    axes[1].set_ylabel("|smoothed a - b| / f32  [%]")
+    axes[1].legend()
+    axes[1].set_title(f"smoothed divergence (bf16 max {100 * rel.max():.2f}%, "
+                      f"control max {100 * rel_ctl.max():.2f}%)")
     fig.tight_layout()
     fig.savefig(os.path.join(OUT_DIR, "curves.png"), dpi=120)
 
@@ -125,8 +137,13 @@ def main():
                 "loss_final": h32[-1, 1], "loss_final_smoothed": float(s32[-1])},
         "bf16_mixed": {"wall_s": round(wbf, 1), "loss_first": hbf[0, 1],
                        "loss_final": hbf[-1, 1], "loss_final_smoothed": float(sbf[-1])},
+        "f32_control_seed": {"wall_s": round(wctl, 1), "loss_first": hctl[0, 1],
+                             "loss_final": hctl[-1, 1],
+                             "loss_final_smoothed": float(sctl[-1])},
         "max_smoothed_rel_divergence_pct": round(100 * float(rel.max()), 3),
         "final_smoothed_rel_divergence_pct": round(100 * float(rel[-1]), 3),
+        "control_max_smoothed_rel_divergence_pct": round(100 * float(rel_ctl.max()), 3),
+        "control_final_smoothed_rel_divergence_pct": round(100 * float(rel_ctl[-1]), 3),
         "device": jax.devices()[0].platform,
     }
     with open(os.path.join(OUT_DIR, "summary.json"), "w") as f:
