@@ -1,3 +1,7 @@
+# `time` below is the bash keyword: /bin/sh on this image has no time
+# builtin and /usr/bin/time is not installed.
+SHELL := /bin/bash
+
 .PHONY: help test test-full train-ljspeech train-ljspeech-min bench native clean format lint
 
 help:	## Show this help

@@ -24,6 +24,7 @@ loss scaling (SURVEY.md §2.3).
 """
 
 import functools
+import itertools
 import os
 import sys
 import time
@@ -535,7 +536,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, restore_from: Optional[str] = None) -> Dict[str, float]:
         self.dm.setup()
-        first = next(iter(self.dm.train_batches(0, limit=self.limit_train_batches)))
+        # The init batch comes off the FIRST trained epoch's own iterator
+        # and is chained back in below, so it is computed once (phonemize +
+        # mel-extract per item), not once for init and again in the epoch.
+        init_iter = iter(self.dm.train_batches(
+            self._start_epoch, limit=self.limit_train_batches))
+        first = next(init_iter)
         state = self.init_state(first, restore_from)
         n_params = sum(p.size for p in jax.tree.leaves(state.params))
         log.info(f"Model parameters: {n_params/1e6:.2f}M | mesh: {dict(self.mesh.shape)}")
@@ -561,6 +567,10 @@ class Trainer:
                         break
                     batches.append(b)
                 train_iter = iter(batches)
+            elif epoch == self._start_epoch and init_iter is not None:
+                train_iter = prefetch_iterator(
+                    itertools.chain([first], init_iter))
+                init_iter = first = None  # consumed; later epochs re-iterate
             else:
                 train_iter = prefetch_iterator(
                     self.dm.train_batches(epoch, limit=self.limit_train_batches)
