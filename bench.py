@@ -98,13 +98,19 @@ class Budget:
         return False
 
     def install_signal_handlers(self):
+        """Install SIGTERM/SIGALRM -> BudgetExceeded; returns the previous
+        handlers so callers can restore them (bench.main() runs inside the
+        test suite, and a leaked process-wide handler would convert an
+        external SIGTERM into a spurious failure of whatever unrelated test
+        happens to be running — observed once with a session-kill SIGTERM)."""
         def _raise(signum, frame):
             raise BudgetExceeded(f"signal {signum} at t={self.elapsed():.0f}s")
 
-        signal.signal(signal.SIGTERM, _raise)
-        signal.signal(signal.SIGALRM, _raise)
+        old = {sig: signal.signal(sig, _raise)
+               for sig in (signal.SIGTERM, signal.SIGALRM)}
         # leave ~45 s of slack to run the finally-print + flush
         signal.alarm(max(30, int(self.total)))
+        return old
 
 
 # ---------------------------------------------------------------------------
@@ -468,7 +474,7 @@ def probe_pipelined(pipeline, x, key, bkt, n_calls: int = 30):
 
 def main() -> None:
     budget = Budget(BUDGET_S)
-    budget.install_signal_handlers()
+    old_handlers = budget.install_signal_handlers()
     _install_compile_counter()
 
     record = {
@@ -604,6 +610,8 @@ def main() -> None:
         errors.append(f"{type(e).__name__}: {e}")
     finally:
         signal.alarm(0)
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
         if budget.skipped:
             record["skipped"] = budget.skipped
         if errors:

@@ -58,6 +58,10 @@ def test_compile_counter_sees_new_graphs_and_not_warm_calls():
 
 
 def test_main_always_prints_record_on_failure(monkeypatch, capsys):
+    import signal
+
+    before = {sig: signal.getsignal(sig)
+              for sig in (signal.SIGTERM, signal.SIGALRM)}
     monkeypatch.setattr(bench, "_wait_for_devices",
                         lambda *a, **k: (_ for _ in ()).throw(
                             RuntimeError("no devices")))
@@ -67,6 +71,12 @@ def test_main_always_prints_record_on_failure(monkeypatch, capsys):
     assert record["value"] is None
     assert any("no devices" in e for e in record["errors"])
     assert "bench_wall_s" in record
+    # main() must restore the process signal disposition: a leaked handler
+    # turns an external SIGTERM into a BudgetExceeded inside whatever
+    # unrelated test runs later (observed with a session-kill SIGTERM)
+    after = {sig: signal.getsignal(sig)
+             for sig in (signal.SIGTERM, signal.SIGALRM)}
+    assert after == before, "bench.main leaked signal handlers"
 
 
 @pytest.fixture(scope="module")
