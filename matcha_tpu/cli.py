@@ -14,6 +14,7 @@ formula) on a TPU-native execution model:
 """
 
 import argparse
+import collections
 import datetime as dt
 import functools
 import json
@@ -288,10 +289,12 @@ class TTSPipeline:
         self._decode_voc_cache = {}
         self._vocode_cache = {}
         self._fused_cache = {}
-        # Auto fused-bucket calibration (fixed_y_bucket="auto"): running max
-        # of observed mel frames per (phoneme id x length_scale). None until
-        # the first call returns real mel lengths.
+        # Auto fused-bucket calibration (fixed_y_bucket="auto"): a high
+        # quantile of RECENT observed mel frames per (phoneme id x
+        # length_scale) — see observe_dur_ratio for why not a running max.
+        # None until the first call returns real mel lengths.
         self._dur_ratio = None
+        self._dur_obs = collections.deque(maxlen=64)
 
     def _place(self, *arrays):
         """Commit batch arrays to the mesh (leading axis over 'data').
@@ -605,6 +608,25 @@ class TTSPipeline:
     #: safety headroom over the calibrated frames-per-token estimate
     FUSED_MARGIN = 1.15
 
+    def observe_dur_ratio(self, obs: float) -> None:
+        """Fold one non-saturated fused result into the frames-per-token
+        calibration shared by ``_auto_y_bucket`` and serve's fused picker.
+
+        Selection uses the 90th percentile of the last 64 observations —
+        NOT an all-time running max. A max only ratchets up, so after a
+        loaded serving window one long-winded utterance permanently pushes
+        every subsequent lone request onto the next fused bucket (~60-90 ms
+        of extra decode + vocode + payload through the tunnel: the round-5
+        unloaded-TTFA regression, 70.5 -> 154 ms). The cost asymmetry
+        favors the occasional underestimate instead: the post-fetch
+        saturation check re-dispatches that one call, while an
+        overestimate taxes EVERY call. p90-of-recent keeps the estimate
+        conservative against normal spread but lets it decay after an
+        outlier leaves the window.
+        """
+        self._dur_obs.append(float(obs))
+        self._dur_ratio = float(np.quantile(np.asarray(self._dur_obs), 0.9))
+
     def _auto_y_bucket(self, n_ids: int, length_scale: float) -> int:
         """Tightest fused mel bucket from the calibrated duration ratio.
 
@@ -715,7 +737,7 @@ class TTSPipeline:
                 valid = x_lengths_host > 0
                 if not saturated and valid.any():
                     obs = float(np.max(ml[valid] / (x_lengths_host[valid] * length_scale)))
-                    self._dur_ratio = max(self._dur_ratio or 0.0, obs)
+                    self.observe_dur_ratio(obs)
                 if not saturated:
                     return out
                 if T_y >= self.FUSED_Y_BUCKETS[-1]:

@@ -546,8 +546,7 @@ class BatchingServer:
                 ml0 = int(mel_lengths[0])
                 if ml0 < T_y:
                     obs = ml0 / (len(reqs[0].seq) * reqs[0].speaking_rate)
-                    self.pipeline._dur_ratio = max(
-                        self.pipeline._dur_ratio or 0.0, obs)
+                    self.pipeline.observe_dur_ratio(obs)
             if T_y is not None and int(mel_lengths[0]) >= T_y:
                 # fused fast path saturated (the warmed bucket was too
                 # small for this utterance): re-run through the dynamic

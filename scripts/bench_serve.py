@@ -207,6 +207,11 @@ def main():
                     first = (time.perf_counter() - t0) * 1e3
             solo.append(first)
         result["ttfa_unloaded_ms"] = round(float(np.median(solo)), 1)
+        # evidence for the unloaded-TTFA story: the post-window calibrated
+        # frames-per-token ratio decides which fused bucket solo first
+        # chunks ride (round-5 regression: a running-max ratio inflated it)
+        result["dur_ratio"] = (round(pipeline._dur_ratio, 3)
+                               if pipeline._dur_ratio else None)
         print(json.dumps(result), flush=True)
 
 

@@ -328,6 +328,42 @@ def test_bucket_tables_and_voc_pick():
     assert pick_bucket(2049, Y_BUCKETS) == 2112
     assert pick_bucket(30, X_BUCKETS) == 32
 
+def test_dur_ratio_selection_recovers_from_outliers():
+    """The shared frames-per-token calibration must not ratchet: one
+    long-winded utterance (a high observed ratio) may lift the selection
+    estimate while it is recent, but after enough typical observations
+    the estimate decays back and `_auto_y_bucket` picks the tight bucket
+    again (round-5 unloaded-TTFA regression: a running max permanently
+    over-bucketed every lone request after a loaded window)."""
+    import collections
+
+    from matcha_tpu.cli import TTSPipeline
+
+    p = object.__new__(TTSPipeline)
+    p._dur_ratio = None
+    p._dur_obs = collections.deque(maxlen=64)
+
+    # typical speech: ~4.0 frames per token at rate 1.0 -> 90 tokens
+    # lands in the 512-frame bucket (90 * 4.0 * 1.15 = 414)
+    for _ in range(20):
+        p.observe_dur_ratio(4.0)
+    assert p._auto_y_bucket(90, 1.0) == 448
+
+    # one drawn-out outlier (the loaded-window worst case): the estimate
+    # may rise while it is the recent tail...
+    p.observe_dur_ratio(9.0)
+    inflated = p._auto_y_bucket(90, 1.0)
+    assert inflated >= 448  # never under the typical pick
+
+    # ...but a running max would stay at 9.0 forever (90*9*1.15 = 932 ->
+    # the 960 bucket). After a window of typical traffic the quantile
+    # forgets the outlier and the tight bucket returns.
+    for _ in range(64):
+        p.observe_dur_ratio(4.0)
+    assert p._dur_ratio == pytest.approx(4.0)
+    assert p._auto_y_bucket(90, 1.0) == 448
+
+
 @pytest.mark.slow
 def test_auto_fused_bucket_calibrates_and_retries():
     """fixed_y_bucket='auto' (VERDICT r2 item 3): the first call runs the
